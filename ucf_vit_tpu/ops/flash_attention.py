@@ -1,0 +1,426 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the reference's third-party fused-attention tiers
+(xformers FlashAttention / Composable-Kernel / torch SDPA — reference
+`src/UCF_VIT/simple/building_blocks.py:163-187`). One kernel covers what the
+reference needed two vendor libraries for.
+
+Design (see the classic flash-attention tiling):
+- Grid (batch*heads, q_blocks, kv_blocks); kv dimension is the online-softmax
+  reduction and is marked "arbitrary", the rest are "parallel".
+- Running max `m`, normalizer `l`, and the output accumulator live in VMEM
+  scratch in float32 regardless of input dtype; matmuls use
+  preferred_element_type=float32 so bf16 inputs accumulate in f32.
+- Sequence lengths that are not multiples of the block size (ViT: 197/257/729
+  tokens) are zero-padded by the wrapper; padded key columns are masked with a
+  large negative constant (not -inf, to avoid exp(-inf - -inf) NaNs).
+- Backward is a custom VJP with two kernels: dkv (iterates q blocks per kv
+  block) and dq (iterates kv blocks per q block), sharing the standard
+  residuals (o, lse) plus the precomputed di = rowsum(do * o).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+MIN_BLOCK = 128
+NUM_LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------------
+# Forward kernel
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [block_q, dh]
+    k = k_ref[0]  # [block_k, dh]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, block_k]
+    s = s * sm_scale
+
+    # Mask padded key columns (static kv_len -> compile-time constant mask for
+    # all but the last block).
+    col0 = kv_idx * block_k
+    if kv_len % block_k != 0:
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[...]  # [block_q, NUM_LANES]
+    l_prev = l_scr[...]
+
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+    m_next = jnp.maximum(m_prev, m_cur)  # broadcast to lanes
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    v = v_ref[0]  # [block_k, dh]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * alpha[:, : acc_scr.shape[-1]] + pv
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l_final = l_scr[...]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_scr[...] * l_inv[:, : acc_scr.shape[-1]]).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[...] + jnp.log(jnp.maximum(l_final, 1e-37))).astype(
+            lse_ref.dtype
+        )
+
+
+# ----------------------------------------------------------------------------
+# Backward kernels
+# ----------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dk_scr,
+    dv_scr,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_k: int,
+    num_q_blocks: int,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [block_q, dh]
+    k = k_ref[0]  # [block_k, dh]
+    v = v_ref[0]
+    do = do_ref[0]  # [block_q, dh]
+    lse = lse_ref[0][:, :1]  # [block_q, 1]
+    di = di_ref[0][:, :1]  # [block_q, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    col0 = kv_idx * block_k
+    if kv_len % block_k != 0:
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)  # [block_q, block_k]
+
+    # dv += p^T @ do
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di) * sm_scale  # [block_q, block_k]
+
+    # dk += ds^T @ q
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    col0 = kv_idx * block_k
+    if kv_len % block_k != 0:
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di) * sm_scale
+
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+# ----------------------------------------------------------------------------
+# Public API with custom VJP + padding wrapper
+# ----------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: float | None = None,
+    block_q: int = MIN_BLOCK,
+    block_k: int = MIN_BLOCK,
+) -> jnp.ndarray:
+    """Flash attention over [B, H, N, dh] (or [B, H, Nq, dh] x [B, H, Nkv, dh]).
+
+    Pads sequence lengths to block multiples internally; padded keys are
+    masked, padded query rows are sliced away. Returns [B, H, Nq, dh].
+    """
+    b, h, n_q, dh = q.shape
+    n_kv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(dh)
+
+    block_q = min(block_q, _ceil_to(n_q, MIN_BLOCK))
+    block_k = min(block_k, _ceil_to(n_kv, MIN_BLOCK))
+    n_q_pad = _ceil_to(n_q, block_q)
+    n_kv_pad = _ceil_to(n_kv, block_k)
+
+    qf = q.reshape(b * h, n_q, dh)
+    kf = k.reshape(b * h, n_kv, dh)
+    vf = v.reshape(b * h, n_kv, dh)
+    if n_q_pad != n_q:
+        qf = jnp.pad(qf, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+    if n_kv_pad != n_kv:
+        kf = jnp.pad(kf, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+
+    # The kernels mask key columns >= the true kv length; bake the true length
+    # in before padding so the mask constant is correct.
+    out = _flash_attention_padded_with_len(qf, kf, vf, n_kv, sm_scale, block_q, block_k)
+    out = out[:, :n_q]
+    return out.reshape(b, h, n_q, dh)
+
+
+def _flash_attention_padded_with_len(qf, kf, vf, kv_len, sm_scale, block_q, block_k):
+    # Rebind kv_len via closure into the pallas kernels: the padded arrays
+    # carry n_kv_pad in their shape, so we thread the true length through a
+    # small wrapper that rebuilds the custom-vjp function per (shape, len).
+    return _flash_len_cache(kv_len)(qf, kf, vf, sm_scale, block_q, block_k)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_len_cache(kv_len: int):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+    def fn(q, k, v, sm_scale, block_q, block_k):
+        out, _ = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k)
+        return out
+
+    def fn_fwd(q, k, v, sm_scale, block_q, block_k):
+        out, lse = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k)
+        return out, (q, k, v, out, lse)
+
+    def fn_bwd(sm_scale, block_q, block_k, res, do):
+        q, k, v, out, lse = res
+        return _flash_bwd_len(
+            q, k, v, out, lse, do, kv_len, sm_scale, block_q, block_k
+        )
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    return fn
+
+
+def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k):
+    bh, n_q, dh = q.shape
+    _, n_kv_pad, _ = k.shape
+    num_q_blocks = n_q // block_q
+    num_kv_blocks = n_kv_pad // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_q, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_q, NUM_LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+    return out, lse
+
+
+def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k):
+    bh, n_q, dh = q.shape
+    _, n_kv_pad, _ = k.shape
+    num_q_blocks = n_q // block_q
+    num_kv_blocks = n_kv_pad // block_k
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (bh, n_q, NUM_LANES))
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_q_blocks=num_q_blocks,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, num_kv_blocks, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_kv_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_kv_pad, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((block_k, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, di)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, NUM_LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse, di)
+
+    return dq, dk, dv
