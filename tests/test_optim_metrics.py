@@ -1,0 +1,103 @@
+"""Schedule / optimizer-grouping / loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ucf_vit_tpu.utils.metrics import (
+    accuracy,
+    cross_entropy,
+    dice_b_loss,
+    dice_ce_loss,
+    dice_metric,
+)
+from ucf_vit_tpu.utils.optim import (
+    _no_decay_mask,
+    all_finite,
+    configure_optimizer,
+    init_loss_scale,
+    update_loss_scale,
+    warmup_cosine_schedule,
+)
+
+
+def test_warmup_cosine_matches_reference_form():
+    lr, warm, mx, start, eta = 1e-4, 10, 100, 1e-8, 1e-8
+    s = warmup_cosine_schedule(lr, warm, mx, start, eta)
+    # step 0 -> warmup_start_lr
+    np.testing.assert_allclose(float(s(0)), start, rtol=1e-6)
+    # step warmup -> base lr
+    np.testing.assert_allclose(float(s(warm)), lr, rtol=1e-5)
+    # midway cosine
+    mid = (warm + mx) // 2
+    expected = eta + 0.5 * (lr - eta) * (1 + np.cos(np.pi * (mid - warm) / (mx - warm)))
+    np.testing.assert_allclose(float(s(mid)), expected, rtol=1e-5)
+    # end -> eta_min
+    np.testing.assert_allclose(float(s(mx)), eta, rtol=1e-5, atol=1e-12)
+    # beyond end stays at eta_min
+    np.testing.assert_allclose(float(s(mx * 2)), eta, rtol=1e-5, atol=1e-12)
+
+
+def test_no_decay_mask_matches_reference_names():
+    params = {
+        "pos_embed": jnp.zeros((1,)),
+        "decoder_pos_embed": jnp.zeros((1,)),
+        "var_embed": jnp.zeros((1,)),
+        "blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((1,))}}},
+        "head": {"kernel": jnp.zeros((1,))},
+    }
+    mask = _no_decay_mask(params)
+    assert mask["pos_embed"] is False
+    assert mask["decoder_pos_embed"] is False
+    assert mask["var_embed"] is False
+    assert mask["blocks_0"]["attn"]["qkv"]["kernel"] is True
+    assert mask["head"]["kernel"] is True
+
+
+def test_optimizer_steps():
+    params = {"w": jnp.ones((4, 4)), "pos_embed": jnp.ones((1, 4))}
+    tx = configure_optimizer(params, lr=1e-3, warmup_steps=2, max_steps=10)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    params2 = optax.apply_updates(params, updates)
+    assert np.all(np.isfinite(np.asarray(params2["w"])))
+
+
+def test_loss_scale_dynamics():
+    st = init_loss_scale(8192.0)
+    # overflow backs off but floors at 128
+    for _ in range(20):
+        st = update_loss_scale(st, jnp.asarray(False))
+    assert float(st.scale) == 128.0
+    # growth after interval finite steps
+    for _ in range(100):
+        st = update_loss_scale(st, jnp.asarray(True))
+    assert float(st.scale) == 256.0
+    assert bool(all_finite({"a": jnp.ones(3)}))
+    assert not bool(all_finite({"a": jnp.asarray([jnp.nan])}))
+
+
+def test_cross_entropy_and_accuracy():
+    logits = jnp.asarray([[10.0, 0.0], [0.0, 10.0]])
+    labels = jnp.asarray([0, 1])
+    assert float(cross_entropy(logits, labels)) < 1e-3
+    assert float(accuracy(logits, labels)) == 1.0
+
+
+def test_dice_losses_sane():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 3, 8, 8)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, size=(2, 1, 8, 8)))
+    l = float(dice_ce_loss(logits, labels, num_classes=3))
+    assert np.isfinite(l) and l > 0
+
+    onehot = jax.nn.one_hot(labels[:, 0], 3, axis=1)
+    lb = float(dice_b_loss(logits, onehot))
+    assert np.isfinite(lb) and lb > 0
+
+    # perfect prediction -> dice metric == 1
+    pred = labels[:, 0]
+    d = float(dice_metric(pred, labels[:, 0], num_classes=3))
+    np.testing.assert_allclose(d, 1.0, atol=1e-5)
