@@ -1,0 +1,132 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh.
+
+The capability the reference could never test without a cluster (SURVEY.md
+§4): sharded-vs-single-device numerical equivalence (the reference's stated
+reason for keeping simple/ alongside fsdp/, `README.md:963`), exercised
+hybrid ddp x fsdp x tp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucf_vit_tpu.models import VIT
+from ucf_vit_tpu.ops.attention import AttnImpl
+from ucf_vit_tpu.parallel import make_mesh
+from ucf_vit_tpu.parallel.mesh import mesh_context, shard_batch
+from ucf_vit_tpu.parallel.train_step import (
+    create_sharded_train_state,
+    make_train_step,
+    unbox,
+)
+from ucf_vit_tpu.utils.metrics import cross_entropy
+from ucf_vit_tpu.utils.optim import configure_optimizer
+
+
+def _model():
+    return VIT(
+        img_size=(16, 16),
+        patch_size=8,
+        in_chans=3,
+        num_classes=4,
+        embed_dim=16,
+        depth=2,
+        num_heads=2,
+        default_vars=("v",),
+        attn_impl=AttnImpl.EINSUM,
+    )
+
+
+def _batch():
+    rng = np.random.default_rng(0)
+    return {
+        "x": jnp.asarray(rng.normal(size=(8, 3, 16, 16)), jnp.float32),
+        "y": jnp.asarray(rng.integers(0, 4, size=(8,))),
+    }
+
+
+def _loss_fn(model):
+    def loss_fn(params, batch, rng):
+        logits = model.apply({"params": params}, batch["x"])
+        return cross_entropy(logits, batch["y"])
+
+    return loss_fn
+
+
+@pytest.mark.parametrize(
+    "ddp,fsdp,sp,tp",
+    [(8, 1, 1, 1), (2, 2, 1, 2), (1, 2, 1, 4)],
+)
+def test_sharded_matches_single_device(ddp, fsdp, sp, tp):
+    model = _model()
+    batch = _batch()
+    loss_fn = _loss_fn(model)
+    tx = configure_optimizer(
+        jax.eval_shape(
+            lambda: model.init(jax.random.key(0), batch["x"])
+        )["params"],
+        lr=1e-3,
+        warmup_steps=2,
+        max_steps=10,
+    )
+
+    # single-device reference run
+    params0 = unbox(model.init(jax.random.key(0), batch["x"])["params"])
+    step = make_train_step(loss_fn, tx, donate=False)
+    from ucf_vit_tpu.parallel.train_step import TrainState
+
+    state0 = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params0, opt_state=tx.init(params0)
+    )
+    losses_ref = []
+    for i in range(3):
+        state0, loss, _ = step(state0, batch, jax.random.key(i))
+        losses_ref.append(float(loss))
+
+    # sharded run on the mesh
+    mesh = make_mesh(ddp, fsdp, sp, tp)
+    with mesh_context(mesh):
+        state, sharding = create_sharded_train_state(
+            lambda: model.init(jax.random.key(0), batch["x"]), tx, mesh
+        )
+        sbatch = shard_batch(mesh, batch)
+        sstep = make_train_step(loss_fn, tx, donate=False)
+        losses = []
+        for i in range(3):
+            state, loss, _ = sstep(state, sbatch, jax.random.key(i))
+            losses.append(float(loss))
+
+    np.testing.assert_allclose(losses, losses_ref, rtol=2e-4, atol=2e-5)
+
+    # params stay sharded: at least one leaf is not fully replicated when
+    # fsdp/tp > 1
+    if fsdp * tp > 1:
+        leaves = jax.tree.leaves(state.params)
+        assert any(
+            not l.sharding.is_fully_replicated for l in leaves
+        ), "expected sharded parameters"
+
+
+def test_loss_scale_step_runs_on_mesh():
+    model = _model()
+    batch = _batch()
+    loss_fn = _loss_fn(model)
+    params_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), batch["x"])
+    )["params"]
+    tx = configure_optimizer(params_shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+
+    mesh = make_mesh(2, 2, 1, 2)
+    with mesh_context(mesh):
+        state, _ = create_sharded_train_state(
+            lambda: model.init(jax.random.key(0), batch["x"]),
+            tx,
+            mesh,
+            use_grad_scaler=True,
+        )
+        sbatch = shard_batch(mesh, batch)
+        sstep = make_train_step(loss_fn, tx, donate=False)
+        state, loss, _ = sstep(state, sbatch, jax.random.key(0))
+    assert np.isfinite(float(loss))
+    assert float(state.loss_scale.scale) == 8192.0

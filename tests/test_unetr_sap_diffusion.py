@@ -1,0 +1,119 @@
+"""Golden-shape tests for UNETR / SAP / DiffusionVIT (reference README
+examples `:624-658` (UNETR), `:678-718` (SAP), `:723-772` (DiffusionVIT))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucf_vit_tpu.models import SAP, UNETR, DiffusionVIT, ddpm_schedule, q_sample
+from ucf_vit_tpu.ops.attention import AttnImpl
+
+COMMON = dict(
+    in_chans=1,
+    embed_dim=48,
+    depth=4,
+    num_heads=4,
+    mlp_ratio=4,
+    class_token=False,
+    default_vars=("v",),
+    attn_impl=AttnImpl.EINSUM,
+)
+
+
+def test_unetr_skip_2d_matched_size():
+    # img 32, p=16 -> feat 2; feat*16 == img -> decoder2 upsamples
+    model = UNETR(img_size=(32, 32), patch_size=16, num_classes=3,
+                  skip_connection=True, feature_size=4, twoD=True, **COMMON)
+    x = jnp.ones((2, 1, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 3, 32, 32)
+
+
+def test_unetr_skip_2d_resize_path():
+    # img 32, p=8 -> feat 4; feat*16 = 64 != 32 -> align-corners resize path
+    model = UNETR(img_size=(32, 32), patch_size=8, num_classes=2,
+                  skip_connection=True, feature_size=4, twoD=True, **COMMON)
+    x = jnp.ones((1, 1, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 2, 32, 32)
+
+
+def test_unetr_no_skip():
+    model = UNETR(img_size=(32, 32), patch_size=16, num_classes=2,
+                  skip_connection=False, feature_size=4, twoD=True, **COMMON)
+    x = jnp.ones((1, 1, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 2, 32, 32)
+
+
+def test_unetr_linear_decoder():
+    model = UNETR(img_size=(32, 32), patch_size=8, num_classes=2,
+                  skip_connection=False, linear_decoder=True, twoD=True, **COMMON)
+    x = jnp.ones((1, 1, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 2, 32, 32)
+
+
+def test_unetr_adaptive_3d():
+    # fixed_length 8 -> sqrt_len 2; x_seq is the reassembled 8^3 image (p=4)
+    model = UNETR(img_size=(16, 16, 16), patch_size=4, num_classes=2,
+                  skip_connection=True, feature_size=2, twoD=False,
+                  adaptive_patching=True, fixed_length=8, sqrt_len_method=True,
+                  use_adaptive_pos_emb=True, **COMMON)
+    x = jnp.ones((1, 1, 16, 16, 16))
+    x_seq = jnp.ones((1, 1, 8, 8, 8))
+    seq_ps = jnp.ones((1, 8, 4))
+    params = model.init(jax.random.key(0), x, None, seq_ps, x_seq)
+    out = model.apply(params, x, None, seq_ps, x_seq)
+    assert out.shape == (1, 2, 16, 16, 16)
+
+
+def test_sap_plain_and_adaptive():
+    model = SAP(img_size=(32, 32), patch_size=8, num_classes=2, twoD=True, **COMMON)
+    x = jnp.ones((1, 1, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 2, 32, 32)
+
+    model = SAP(img_size=(32, 32), patch_size=8, num_classes=2, twoD=True,
+                adaptive_patching=True, fixed_length=4, sqrt_len_method=True,
+                use_adaptive_pos_emb=True, **COMMON)
+    x = jnp.ones((1, 1, 16, 16))  # sqrt_len 2 * p 8
+    seq_ps = jnp.ones((1, 4, 3))
+    params = model.init(jax.random.key(0), x, None, seq_ps)
+    out = model.apply(params, x, None, seq_ps)
+    assert out.shape == (1, 2, 16, 16)
+
+
+def test_diffusion_vit_and_ddpm():
+    model = DiffusionVIT(img_size=(32, 32), patch_size=8, twoD=True,
+                         decoder_depth=1, decoder_embed_dim=24,
+                         decoder_num_heads=4, time_steps=50, **COMMON)
+    sched = ddpm_schedule(50)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 1, 32, 32)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+    t = jnp.asarray([3, 40])
+    xt = q_sample(sched, x0, t, noise)
+    assert xt.shape == x0.shape
+    # higher t -> closer to pure noise
+    a = np.asarray(sched.alpha_bar)
+    assert a[40] < a[3]
+
+    params = model.init(jax.random.key(0), xt, t)
+    out = model.apply(params, xt, t)
+    assert out.shape == (2, 16, 64)  # [B, L, p^2 * C]
+
+    # grads flow through the time-embedding path
+    def loss_fn(p):
+        pred = model.apply(p, xt, t)
+        return jnp.mean(pred**2)
+
+    g = jax.grad(loss_fn)(params)
+    tmap = g["params"]["time_embedding_map"]
+    gsum = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(tmap))
+    assert gsum > 0

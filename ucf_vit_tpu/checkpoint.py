@@ -1,0 +1,112 @@
+"""Checkpoint save/load (Orbax) with the reference's robustness scheme.
+
+Capability parity with the reference's per-script torch.save dicts:
+- alternating even/odd checkpoint files so a crash mid-save loses at most
+  one epoch (`train_masked_fsdp.py:624-644`, `README.md:985`);
+- state = {epoch, params, opt_state, loss_scale, loss_list}
+  (`train_class_simple.py:372-388`);
+- MAE -> UNETR/SAP encoder transfer: drop decoder*/mask_token keys, copy
+  matching encoder entries (`inference_unetr_simple.py:274-327`), with 1D
+  pos-embed length interpolation for changed fixed_length
+  (`utils/misc.py:98-127`, `train_sap_simple.py:308-330`).
+
+Orbax async sharded checkpointing replaces the reference's per-TP-rank
+file-per-rank dance (`train_masked_fsdp.py:627-644`): each device writes its
+own param shards; resume restores with the current mesh sharding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ucf_vit_tpu.ops.pos_embed import interpolate_pos_embed_1d
+
+
+def _ckpt_dir(checkpoint_path: str, filename: str, epoch: int) -> str:
+    parity = "even" if epoch % 2 == 0 else "odd"
+    return os.path.abspath(os.path.join(checkpoint_path, f"{filename}_{parity}"))
+
+
+def save_checkpoint(
+    checkpoint_path: str,
+    filename: str,
+    epoch: int,
+    state,
+    loss_list=None,
+) -> str:
+    """Write the even/odd checkpoint for this epoch. Returns the dir."""
+    path = _ckpt_dir(checkpoint_path, filename, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "epoch": np.asarray(epoch),
+        "state": state,
+        "loss_list": np.asarray(loss_list if loss_list is not None else []),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(
+    checkpoint_path: str,
+    filename_for_loading: str,
+    abstract_payload=None,
+):
+    """Restore from <checkpoint_path>/<filename_for_loading> (the reference
+    passes e.g. 'multi_last_odd' explicitly, `configs/.../base_config.yaml`).
+    abstract_payload (same pytree of jax.ShapeDtypeStruct with shardings)
+    restores directly onto the mesh."""
+    path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_payload is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, abstract_payload)
+
+
+# ---------------------------------------------------------------------------
+# MAE -> UNETR / SAP encoder transfer
+# ---------------------------------------------------------------------------
+
+_DROP_PREFIXES = ("decoder_", "mask_token")
+
+
+def transfer_mae_encoder(
+    mae_params: Dict[str, Any],
+    target_params: Dict[str, Any],
+    new_pos_embed_len: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Initialize a UNETR/SAP param tree from an MAE checkpoint.
+
+    Drops MAE decoder keys, copies every remaining entry whose path exists
+    in the target with a matching shape; optionally 1D-interpolates
+    pos_embed tables to a new token count (adaptive fixed_length change).
+    Returns a new target param tree.
+    """
+    import copy
+
+    out = copy.deepcopy(jax.tree.map(lambda x: x, target_params))
+
+    def walk(src: Dict[str, Any], dst: Dict[str, Any], prefix: str = ""):
+        for k, v in src.items():
+            if any(k.startswith(p) for p in _DROP_PREFIXES):
+                continue
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                walk(v, dst[k], prefix + k + "/")
+            else:
+                sv = np.asarray(v)
+                dv = dst[k]
+                if "pos_embed" in k and new_pos_embed_len is not None:
+                    if sv.ndim == 3 and sv.shape[1] != np.shape(dv)[1]:
+                        sv = interpolate_pos_embed_1d(sv, np.shape(dv)[1])
+                if np.shape(dv) == sv.shape:
+                    dst[k] = sv.astype(np.asarray(dv).dtype)
+
+    walk(mae_params, out)
+    return out

@@ -1,0 +1,244 @@
+"""DataModule: multi-source datasets, rank->dataset group assignment,
+epoch reshuffles, batch iterator.
+
+Capability parity with reference NativePytorchDataModule
+(`src/UCF_VIT/dataloaders/datamodule.py:187-523`): multi-dataset training
+with disjoint rank groups per dataset (gx group list), keys_to_add file
+re-listing so small datasets refill while large ones finish an epoch
+(`datamodule.py:436-489`), per-epoch reset, drop-last batching.
+
+Torch DataLoader is replaced by composable numpy iterators plus an optional
+background-thread prefetcher (the reference pinned num_workers==1 anyway,
+`datamodule.py:245-248`; host-side prefetch is the TPU-idiomatic way to
+overlap input with device steps).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ucf_vit_tpu.data.load_balance import process_root_dirs
+from ucf_vit_tpu.data.pipeline import (
+    BatchIterator,
+    FileReader,
+    ProcessChannels,
+    ShuffleBuffer,
+    TileIterator2D,
+    TileIterator3D,
+)
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (depth-bounded)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class DataModule:
+    def __init__(
+        self,
+        dict_root_dirs: Dict,
+        dict_start_idx: Dict,
+        dict_end_idx: Dict,
+        dict_buffer_sizes: Dict,
+        dict_in_variables: Dict,
+        num_channels_used: Dict,
+        batch_size: int = 64,
+        patch_size: int = 16,
+        tile_size_x: int = 64,
+        tile_size_y: int = 64,
+        tile_size_z: Optional[int] = None,
+        twoD: bool = True,
+        single_channel: bool = False,
+        dataset_group_list: str = "",
+        batches_per_rank_epoch: Optional[Dict] = None,
+        tile_overlap: float = 0.0,
+        use_all_data: bool = False,
+        adaptive_patching: bool = False,
+        fixed_length: int = 4096,
+        separate_channels: bool = False,
+        data_par_size: int = 1,
+        dataset: str = "imagenet",
+        return_label: bool = False,
+        num_classes: Optional[int] = None,
+        imagenet_resize: Optional[Dict] = None,
+        ddp_rank: int = 0,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        assert len(dict_root_dirs) <= data_par_size, (
+            "need at least one data-parallel rank per dataset"
+        )
+        if dataset_group_list == "":
+            per = data_par_size // len(dict_root_dirs)
+            self.gx = ":".join([str(per)] * len(dict_root_dirs))
+        else:
+            self.gx = dataset_group_list
+
+        self.dict_root_dirs = dict_root_dirs
+        self.dict_start_idx = dict_start_idx
+        self.dict_end_idx = dict_end_idx
+        self.dict_buffer_sizes = dict_buffer_sizes
+        self.dict_in_variables = {
+            k: list(v) for k, v in dict_in_variables.items() if v is not None
+        }
+        self.num_channels_used = num_channels_used
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.tile_size = (tile_size_x, tile_size_y, tile_size_z)
+        self.twoD = twoD
+        self.single_channel = single_channel
+        self.batches_per_rank_epoch = batches_per_rank_epoch or {}
+        self.tile_overlap = tile_overlap
+        self.use_all_data = use_all_data
+        self.adaptive_patching = adaptive_patching
+        self.fixed_length = fixed_length
+        self.separate_channels = separate_channels
+        self.data_par_size = data_par_size
+        self.dataset = dataset
+        self.return_label = return_label
+        self.num_classes = num_classes
+        self.imagenet_resize = imagenet_resize or {"imagenet": (256, 256)}
+        self.ddp_rank = ddp_rank
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+        if dataset == "basic_ct" and return_label:
+            assert num_classes is not None, "segmentation needs num_classes"
+
+        self.dict_lister_trains = process_root_dirs(
+            dataset, dict_root_dirs, data_par_size
+        )
+        self.dict_data_train: Optional[Dict] = None
+
+    # ------------------------------------------------------------------ setup
+
+    @property
+    def max_balance(self) -> int:
+        if self.dataset == "imagenet":
+            return self.batches_per_rank_epoch.get("imagenet", 0)
+        return max(self.batches_per_rank_epoch.values(), default=0)
+
+    def _keys_to_add(self, k) -> int:
+        if self.dataset == "imagenet" or not self.batches_per_rank_epoch:
+            return 1
+        return int(np.ceil(self.max_balance / self.batches_per_rank_epoch[k]))
+
+    def _build_chain(self, k, file_list, keys_to_add, rng):
+        key = "imagenet" if self.dataset == "imagenet" else k
+        variables = self.dict_in_variables[key]
+        reader = FileReader(
+            file_list,
+            start_idx=self.dict_start_idx[key],
+            end_idx=self.dict_end_idx[key],
+            variables=variables,
+            shard_rank=self.ddp_rank,
+            data_par_size=self.data_par_size,
+            gx=self.gx,
+            multi_dataset_training=True,
+            return_label=self.return_label,
+            keys_to_add=keys_to_add,
+            dataset=self.dataset,
+            imagenet_resize=self.imagenet_resize.get("imagenet", (256, 256)),
+        )
+        tx, ty, tz = self.tile_size
+        if self.dataset in ("imagenet", "catsdogs"):
+            tiles = TileIterator2D(
+                reader, tx, ty, return_label=self.return_label,
+                tile_overlap=self.tile_overlap, use_all_data=self.use_all_data,
+                classification=True,
+            )
+        else:
+            tiles = TileIterator3D(
+                reader, tx, ty, tz, twoD=self.twoD,
+                return_label=self.return_label,
+                tile_overlap=self.tile_overlap, use_all_data=self.use_all_data,
+            )
+        shuffled = ShuffleBuffer(tiles, self.dict_buffer_sizes[key], rng=rng)
+        processed = ProcessChannels(
+            shuffled,
+            num_channels=self.num_channels_used[key],
+            single_channel=self.single_channel,
+            return_label=self.return_label,
+            adaptive_patching=self.adaptive_patching,
+            separate_channels=self.separate_channels,
+            patch_size=self.patch_size,
+            fixed_length=self.fixed_length,
+            twoD=self.twoD,
+            dataset=self.dataset,
+            num_classes=self.num_classes,
+            batch_size=self.batch_size,
+            rng=rng,
+        )
+        return BatchIterator(processed, self.batch_size, self.dataset)
+
+    def _assemble(self):
+        rng = np.random.default_rng(self._seed + self._epoch)
+        data = {}
+        for k, lister in self.dict_lister_trains.items():
+            keys_to_add = self._keys_to_add(k)
+            files = list(rng.permutation(np.asarray(lister, dtype=object)))
+            for _ in range(keys_to_add - 1):
+                files.extend(rng.permutation(np.asarray(lister, dtype=object)))
+            data[k] = self._build_chain(k, [str(f) for f in files], keys_to_add, rng)
+        self.dict_data_train = data
+
+    def setup(self):
+        if not self.dict_data_train:
+            self._assemble()
+
+    def reset(self):
+        """Per-epoch file-list reshuffle (parity: `datamodule.py:468-489`)."""
+        self._epoch += 1
+        self._assemble()
+
+    # ------------------------------------------------------------------- iter
+
+    def _my_dataset_key(self):
+        group_list = [int(x) for x in self.gx.split(":")]
+        assert self.data_par_size == sum(group_list)
+        cum = np.cumsum(group_list)
+        group_id = int(np.where(cum > self.ddp_rank)[0][0])
+        return list(self.dict_data_train.keys())[group_id]
+
+    def train_dataloader(self) -> Iterator[dict]:
+        """Batches for this rank's dataset group. Each batch dict also
+        carries its dataset key (the reference appends dict_key to every
+        collate output)."""
+        assert self.dict_data_train is not None, "call setup() first"
+        k = self._my_dataset_key()
+
+        def with_key():
+            for batch in self.dict_data_train[k]:
+                batch["dict_key"] = k
+                yield batch
+
+        if self.prefetch > 0:
+            return iter(Prefetcher(with_key(), depth=self.prefetch))
+        return with_key()

@@ -1,0 +1,216 @@
+"""Fixed-length octree for 3D adaptive patching (host-side numpy).
+
+Capability parity with reference `src/UCF_VIT/dataloaders/octree.py`:
+greedy max-edge-mass splits into 8 children until fixed_length leaves
+(min side 2), serialize with trilinear (labels: nearest) resampling to
+patch_size^3, deserialize back.
+
+Performance rewrite: 3D summed-volume table for O(1) region sums +
+lazy max-heap build (reference: O(L^2) rescans); leaf resampling via
+separable per-axis interpolation matrices (reference: scipy
+RegularGridInterpolator per leaf per channel). The reference's peculiar
+grid convention (source points at linspace(0, n, n), queries at
+linspace(0, n, m)) is reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class Cube:
+    __slots__ = ("x1", "x2", "y1", "y2", "z1", "z2")
+
+    def __init__(self, x1, x2, y1, y2, z1, z2) -> None:
+        assert x1 <= x2 and y1 <= y2 and z1 <= z2, "wrong coordinate"
+        self.x1, self.x2, self.y1, self.y2, self.z1, self.z2 = x1, x2, y1, y2, z1, z2
+
+    def contains(self, domain: np.ndarray, norm_factor: int) -> int:
+        patch = domain[self.z1 : self.z2, self.y1 : self.y2, self.x1 : self.x2]
+        return int(np.sum(patch) / norm_factor)
+
+    def get_area(self, img: np.ndarray) -> np.ndarray:
+        return img[self.z1 : self.z2, self.y1 : self.y2, self.x1 : self.x2, :]
+
+    def set_area(self, mask: np.ndarray, patch: np.ndarray, num_channels: int):
+        size = self.get_size()
+        patch = resize_3d(patch, (int(size[0]), int(size[1]), int(size[2])))
+        mask[self.z1 : self.z2, self.y1 : self.y2, self.x1 : self.x2, :] = patch
+        return mask
+
+    def get_coord(self):
+        return self.x1, self.x2, self.y1, self.y2, self.z1, self.z2
+
+    def get_size(self):
+        return self.x2 - self.x1, self.y2 - self.y1, self.z2 - self.z1
+
+    def get_center(self):
+        return (
+            (self.x2 + self.x1) / 2,
+            (self.y2 + self.y1) / 2,
+            (self.z2 + self.z1) / 2,
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_weights(n_in: int, n_out: int, nearest: bool) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing the reference's
+    RegularGridInterpolator setup: source samples at linspace(0, n_in, n_in)
+    (spacing n_in/(n_in-1)), queries at linspace(0, n_in, n_out)."""
+    w = np.zeros((n_out, n_in), np.float64)
+    if n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    src = np.linspace(0.0, n_in, n_in)
+    q = np.linspace(0.0, n_in, n_out)
+    step = src[1] - src[0]
+    idx = np.clip((q / step).astype(np.int64), 0, n_in - 2)
+    frac = (q - src[idx]) / step
+    if nearest:
+        # RegularGridInterpolator 'nearest': round half toward the lower cell
+        nearest_idx = np.where(frac <= 0.5, idx, idx + 1)
+        w[np.arange(n_out), nearest_idx] = 1.0
+    else:
+        w[np.arange(n_out), idx] += 1.0 - frac
+        w[np.arange(n_out), np.minimum(idx + 1, n_in - 1)] += frac
+    return w
+
+
+def resize_3d(vol: np.ndarray, out_size: Tuple[int, int, int], nearest: bool = False):
+    """[D1, H1, W1, C] -> [D2, H2, W2, C] separable resample (reference grid
+    convention; linear or nearest)."""
+    d2, h2, w2 = out_size
+    d1, h1, w1, c = vol.shape
+    out = vol.astype(np.float64)
+    out = np.einsum("oi,ihwc->ohwc", _axis_weights(d1, d2, nearest), out)
+    out = np.einsum("oi,diwc->dowc", _axis_weights(h1, h2, nearest), out)
+    out = np.einsum("oi,dhic->dhoc", _axis_weights(w1, w2, nearest), out)
+    return out
+
+
+def _svt(domain: np.ndarray) -> np.ndarray:
+    """3D summed-volume table with zero border."""
+    s = np.zeros(tuple(d + 1 for d in domain.shape), np.int64)
+    c = domain.astype(np.int64)
+    c = np.cumsum(np.cumsum(np.cumsum(c, axis=0), axis=1), axis=2)
+    s[1:, 1:, 1:] = c
+    return s
+
+
+def _cube_sum(sat: np.ndarray, c: Cube) -> int:
+    z1, z2, y1, y2, x1, x2 = c.z1, c.z2, c.y1, c.y2, c.x1, c.x2
+    return int(
+        sat[z2, y2, x2]
+        - sat[z1, y2, x2]
+        - sat[z2, y1, x2]
+        - sat[z2, y2, x1]
+        + sat[z1, y1, x2]
+        + sat[z1, y2, x1]
+        + sat[z2, y1, x1]
+        - sat[z1, y1, x1]
+    )
+
+
+class _Node:
+    __slots__ = ("cube", "value", "children")
+
+    def __init__(self, cube: Cube, value: int):
+        self.cube = cube
+        self.value = value
+        self.children: Optional[List["_Node"]] = None
+
+
+class FixedOctTree:
+    def __init__(self, domain: np.ndarray, fixed_length=128, norm_factor=255):
+        self.domain = domain
+        self.fixed_length = fixed_length
+        self.norm_factor = norm_factor
+        self._build_tree()
+
+    def _build_tree(self):
+        h, w, d = self.domain.shape
+        assert h > 0 and w > 0 and d > 0, "Wrong img size."
+        sat = _svt(self.domain)
+
+        def value(c: Cube) -> int:
+            return _cube_sum(sat, c) // self.norm_factor
+
+        root = Cube(0, h, 0, w, 0, d)  # parity: octree.py:77 (x spans dim 0)
+        rootn = _Node(root, value(root))
+        count = 1
+        heap: List[Tuple[int, int, _Node]] = [(-rootn.value, 0, rootn)]
+        serial = 1
+        while count < self.fixed_length and heap:
+            _, _, node = heapq.heappop(heap)
+            if node.cube.get_size()[0] == 2:
+                break
+            x1, x2, y1, y2, z1, z2 = node.cube.get_coord()
+            xm, ym, zm = (x1 + x2) // 2, (y1 + y2) // 2, (z1 + z2) // 2
+            octs = [
+                Cube(x1, xm, y1, ym, z1, zm),
+                Cube(xm, x2, y1, ym, z1, zm),
+                Cube(x1, xm, ym, y2, z1, zm),
+                Cube(xm, x2, ym, y2, z1, zm),
+                Cube(x1, xm, y1, ym, zm, z2),
+                Cube(xm, x2, y1, ym, zm, z2),
+                Cube(x1, xm, ym, y2, zm, z2),
+                Cube(xm, x2, ym, y2, zm, z2),
+            ]
+            node.children = []
+            for c in octs:
+                child = _Node(c, value(c))
+                node.children.append(child)
+                heapq.heappush(heap, (-child.value, serial, child))
+                serial += 1
+            count += 7
+
+        leaves = []
+        stack = [rootn]
+        while stack:
+            n = stack.pop()
+            if n.children is None:
+                leaves.append([n.cube, n.value])
+            else:
+                stack.extend(reversed(n.children))
+        self.nodes = leaves
+
+    def count_patches(self):
+        return len(self.nodes)
+
+    def _serialize(self, img: np.ndarray, size, nearest: bool):
+        h2, w2, d2, c2 = size
+        seq_patch, seq_size, seq_pos = [], [], []
+        for cube, _ in self.nodes:
+            area = cube.get_area(img)
+            s = area.shape
+            assert s[0] == s[1] == s[2], "Need squared input."
+            seq_patch.append(resize_3d(area, (h2, w2, d2), nearest=nearest))
+            seq_size.append(cube.get_size()[0])
+            seq_pos.append(cube.get_center())
+        pad = self.fixed_length - len(seq_patch)
+        if pad > 0:
+            seq_patch += [np.zeros(shape=(h2, w2, d2, c2))] * pad
+            seq_size += [0] * pad
+            seq_pos += [(-1, -1, -1)] * pad
+        assert len(seq_patch) == self.fixed_length, "Not equal fixed length."
+        return seq_patch, seq_size, seq_pos
+
+    def serialize(self, img: np.ndarray, size=(8, 8, 8, 1)):
+        return self._serialize(img, size, nearest=False)
+
+    def serialize_labels(self, img: np.ndarray, size=(8, 8, 8, 1)):
+        return self._serialize(img, size, nearest=True)
+
+    def deserialize(self, seq: np.ndarray, patch_size: int, channel: int):
+        h, w, d = self.domain.shape
+        seq = np.reshape(
+            seq, (self.fixed_length, patch_size, patch_size, patch_size, channel)
+        )
+        mask = np.zeros(shape=(h, w, d, channel))
+        for idx, (cube, _) in enumerate(self.nodes):
+            mask = cube.set_area(mask, seq[idx], channel)
+        return mask

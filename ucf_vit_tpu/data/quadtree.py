@@ -1,0 +1,257 @@
+"""Fixed-length quadtree for adaptive patching (host-side numpy).
+
+Capability parity with reference `src/UCF_VIT/dataloaders/quadtree.py`:
+greedily split the leaf with maximum edge mass until `fixed_length` leaves
+(min leaf side 2 px), serialize leaves to fixed-size patches (+ per-leaf
+size / center-position descriptors, zero-padded to fixed_length),
+deserialize predictions back into image space.
+
+Performance rewrite (the reference build is O(L^2) list rescans; per-leaf
+region sums re-walk pixels):
+- region edge mass via a summed-area table: O(1) per rect;
+- the greedy frontier is a lazy max-heap: O(L log L) build;
+- serialization order preserves the reference's in-place child expansion
+  (children replace their parent at its position) via DFS.
+
+Deviation (documented): ties in edge mass are broken by insertion order
+(heap) rather than current-list order (reference `max()`), which can pick a
+different equal-mass leaf to split. Edge maps are randomized augmentations
+(`transform.py:24-38`), so this only reshuffles augmentation noise.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2 as cv
+except ImportError:  # pragma: no cover
+    cv = None
+
+
+class Rect:
+    __slots__ = ("x1", "x2", "y1", "y2")
+
+    def __init__(self, x1: int, x2: int, y1: int, y2: int) -> None:
+        assert x1 <= x2 and y1 <= y2, "wrong coordinate"
+        self.x1, self.x2, self.y1, self.y2 = x1, x2, y1, y2
+
+    def contains(self, domain: np.ndarray) -> int:
+        """Edge mass (sum / 255) inside the rect. Parity: quadtree.py:19-21."""
+        patch = domain[self.y1 : self.y2, self.x1 : self.x2]
+        return int(np.sum(patch) / 255)
+
+    def get_area(self, img: np.ndarray) -> np.ndarray:
+        return img[self.y1 : self.y2, self.x1 : self.x2, :]
+
+    def set_area(self, mask: np.ndarray, patch: np.ndarray) -> np.ndarray:
+        w, h = self.get_size()
+        patch = patch.astype("float32")
+        patch = cv.resize(patch, interpolation=cv.INTER_CUBIC, dsize=(w, h))
+        if patch.ndim == 2:
+            patch = patch[:, :, None]
+        mask[self.y1 : self.y2, self.x1 : self.x2, :] = patch
+        return mask
+
+    def get_coord(self):
+        return self.x1, self.x2, self.y1, self.y2
+
+    def get_size(self):
+        return self.x2 - self.x1, self.y2 - self.y1
+
+    def get_center(self):
+        return (self.x2 + self.x1) / 2, (self.y2 + self.y1) / 2
+
+
+def _sat(domain: np.ndarray) -> np.ndarray:
+    """Summed-area table with a zero border: sum of domain[y1:y2, x1:x2] =
+    sat[y2, x2] - sat[y1, x2] - sat[y2, x1] + sat[y1, x1]."""
+    s = np.zeros((domain.shape[0] + 1, domain.shape[1] + 1), np.int64)
+    s[1:, 1:] = np.cumsum(np.cumsum(domain.astype(np.int64), axis=0), axis=1)
+    return s
+
+
+class _Node:
+    __slots__ = ("rect", "value", "children")
+
+    def __init__(self, rect: Rect, value: int):
+        self.rect = rect
+        self.value = value
+        self.children: Optional[List["_Node"]] = None
+
+
+class FixedQuadTree:
+    def __init__(
+        self,
+        domain: np.ndarray,
+        fixed_length: int = 128,
+        build_from_info: bool = False,
+        meta_info=None,
+    ) -> None:
+        self.domain = domain
+        self.fixed_length = fixed_length
+        if build_from_info:
+            self.nodes = self._decode_nodes(meta_info)
+        else:
+            self._build_tree()
+
+    # ------------------------------------------------------------------ build
+
+    def _rect_value(self, sat: np.ndarray, r: Rect) -> int:
+        raw = (
+            sat[r.y2, r.x2] - sat[r.y1, r.x2] - sat[r.y2, r.x1] + sat[r.y1, r.x1]
+        )
+        return int(raw / 255)
+
+    def _build_tree(self) -> None:
+        h, w = self.domain.shape
+        assert h > 0 and w > 0, "Wrong img size."
+        sat = _sat(self.domain)
+        root = _Node(Rect(0, w, 0, h), self._rect_value(sat, Rect(0, w, 0, h)))
+        count = 1
+        heap: List[Tuple[int, int, _Node]] = [(-root.value, 0, root)]
+        serial = 1
+        while count < self.fixed_length and heap:
+            _, _, node = heapq.heappop(heap)
+            if node.rect.get_size()[0] == 2:
+                break  # min leaf side (parity: quadtree.py:124)
+            x1, x2, y1, y2 = node.rect.get_coord()
+            xm, ym = (x1 + x2) // 2, (y1 + y2) // 2
+            quads = [
+                Rect(x1, xm, ym, y2),
+                Rect(xm, x2, ym, y2),
+                Rect(x1, xm, y1, ym),
+                Rect(xm, x2, y1, ym),
+            ]
+            node.children = []
+            for r in quads:
+                child = _Node(r, self._rect_value(sat, r))
+                node.children.append(child)
+                heapq.heappush(heap, (-child.value, serial, child))
+                serial += 1
+            count += 3  # replaced 1 leaf with 4
+
+        # DFS flatten: children occupy their parent's position (parity with
+        # the reference's in-place list splice, quadtree.py:139).
+        leaves: List[List] = []
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if n.children is None:
+                leaves.append([n.rect, n.value])
+            else:
+                stack.extend(reversed(n.children))
+        self.nodes = leaves
+
+    def _decode_nodes(self, meta_info):
+        nodes = []
+        for x1, x2, y1, y2 in meta_info:
+            r = Rect(x1, x2, y1, y2)
+            nodes.append([r, r.contains(self.domain)])
+        return nodes
+
+    def encode_nodes(self):
+        return [[r.x1, r.x2, r.y1, r.y2] for r, _ in self.nodes]
+
+    def nodes_value(self):
+        return [[r.get_size()[0] / 8] for r, _ in self.nodes]
+
+    def count_patches(self) -> int:
+        return len(self.nodes)
+
+    # -------------------------------------------------------------- serialize
+
+    def _serialize(self, img: np.ndarray, size, interpolation):
+        h2, w2, c2 = size
+        seq_patch, seq_size, seq_pos = [], [], []
+        for rect, _ in self.nodes:
+            area = rect.get_area(img)
+            h1, w1 = area.shape[:2]
+            assert h1 == w1, "Need squared input."
+            seq_patch.append(
+                cv.resize(area, (h2, w2), interpolation=interpolation)
+            )
+            seq_size.append(rect.get_size()[0])
+            seq_pos.append(rect.get_center())
+        pad = self.fixed_length - len(seq_patch)
+        if pad > 0:
+            zero_shape = (h2, w2, c2) if c2 > 1 else (h2, w2)
+            seq_patch += [np.zeros(zero_shape)] * pad
+            seq_size += [0] * pad
+            seq_pos += [(-1, -1)] * pad
+        assert len(seq_patch) == self.fixed_length, "Not equal fixed length."
+        return seq_patch, seq_size, seq_pos
+
+    def serialize(self, img: np.ndarray, size=(8, 8, 3)):
+        """Leaves -> (patches resized cubic, sizes, centers). Parity:
+        quadtree.py:144-174."""
+        return self._serialize(img, size, cv.INTER_CUBIC)
+
+    def serialize_labels(self, img: np.ndarray, size=(8, 8, 3)):
+        """Nearest-neighbor variant for integer label maps. Parity:
+        quadtree.py:176-207."""
+        return self._serialize(img, size, cv.INTER_NEAREST)
+
+    def deserialize(self, seq: np.ndarray, patch_size: int, channel: int):
+        """Write predicted patches back into image space. Parity:
+        quadtree.py:209-221."""
+        h, w = self.domain.shape
+        seq = np.reshape(seq, (self.fixed_length, patch_size, patch_size, channel))
+        mask = np.zeros(shape=(h, w, channel))
+        for idx, (rect, _) in enumerate(self.nodes):
+            mask = rect.set_area(mask, seq[idx])
+        return mask
+
+
+class DensityQuadtree(FixedQuadTree):
+    """Variant weighting the root split by squared edge density. Parity:
+    reference quadtree.py:244-283 (including its quirk of scoring only the
+    first child by density and the rest by raw mass)."""
+
+    def _build_tree(self) -> None:
+        h, w = self.domain.shape
+        sat = _sat(self.domain)
+        root_rect = Rect(0, w, 0, h)
+        m = self._rect_value(sat, root_rect)
+        r = m / h / w
+        root = _Node(root_rect, m * r * r)
+        count = 1
+        heap: List[Tuple[float, int, _Node]] = [(-root.value, 0, root)]
+        serial = 1
+        while count < self.fixed_length and heap:
+            _, _, node = heapq.heappop(heap)
+            if sum(node.rect.get_size()) < 4:
+                break
+            x1, x2, y1, y2 = node.rect.get_coord()
+            xm, ym = (x1 + x2) // 2, (y1 + y2) // 2
+            quads = [
+                Rect(x1, xm, ym, y2),
+                Rect(xm, x2, ym, y2),
+                Rect(x1, xm, y1, ym),
+                Rect(xm, x2, y1, ym),
+            ]
+            node.children = []
+            for i, rect in enumerate(quads):
+                mass = self._rect_value(sat, rect)
+                if i == 0:
+                    dens = mass / rect.get_size()[0] / rect.get_size()[0]
+                    val = mass * dens * dens
+                else:
+                    val = mass
+                child = _Node(rect, val)
+                node.children.append(child)
+                heapq.heappush(heap, (-child.value, serial, child))
+                serial += 1
+            count += 3
+        leaves = []
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if n.children is None:
+                leaves.append([n.rect, n.value])
+            else:
+                stack.extend(reversed(n.children))
+        self.nodes = leaves

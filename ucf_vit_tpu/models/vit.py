@@ -97,9 +97,26 @@ class VIT(nn.Module):
         return tuple(s // self.patch_size for s in self.spatial_size)
 
     @property
+    def sqrt_len(self) -> int:
+        """Side length of the square/cube token grid for the sqrt-len adaptive
+        method: round(fixed_length ** (1/ndim)). Parity: the `sqrt_len` arg the
+        reference threads into UNETR/SAP (`train_unetr_simple.py:212-217`)."""
+        assert self.fixed_length is not None
+        ndim = 2 if self.twoD else 3
+        return int(round(self.fixed_length ** (1.0 / ndim)))
+
+    @property
     def num_patches(self) -> int:
-        if self.adaptive_patching and not self.sqrt_len_method:
+        if self.adaptive_patching:
             assert self.fixed_length is not None
+            if self.sqrt_len_method:
+                # Tokens come from patch-embedding the reassembled
+                # sqrt-len image, giving sqrt_len^ndim == fixed_length tokens.
+                # (The reference computes num_patches from img_size here —
+                # a latent mismatch its configs dodge via use_adaptive_pos_emb;
+                # we use the actual token count.)
+                ndim = 2 if self.twoD else 3
+                return self.sqrt_len**ndim
             return self.fixed_length
         return int(np.prod(self.grid_size))
 
@@ -143,7 +160,12 @@ class VIT(nn.Module):
                 return 0.02 * jax.random.normal(key, shape, dtype)
             return init
 
-        g = self.grid_size
+        if self.adaptive_patching:
+            # sqrt-len method: tokens form a (sqrt_len,)^ndim grid, not the
+            # img_size/patch grid.
+            g = (self.sqrt_len,) * (2 if self.twoD else 3)
+        else:
+            g = self.grid_size
         if self.twoD:
             table = get_2d_sincos_pos_embed(self.embed_dim, g[0], g[1], cls_token=with_cls)
         else:
@@ -275,15 +297,21 @@ class VIT(nn.Module):
         self.norm = layer_norm(name="norm")
 
         # --- head -------------------------------------------------------------
+        self._setup_head()
+
+        self.pos_drop = nn.Dropout(self.pos_drop_rate)
+        self.head_drop = nn.Dropout(self.drop_rate)
+
+    def _setup_head(self):
+        """Classification head; dense-prediction subclasses override (the
+        reference instead sets `self.head = None` after super().__init__,
+        e.g. `simple/arch.py:496`)."""
         if self.num_classes is not None and self.num_classes > 0:
             self.head = pdense(
                 self.num_classes, kernel_axes=("embed", "classes"), name="head"
             )
         else:
             self.head = None
-
-        self.pos_drop = nn.Dropout(self.pos_drop_rate)
-        self.head_drop = nn.Dropout(self.drop_rate)
 
     # ------------------------------------------------------------- embedding
 

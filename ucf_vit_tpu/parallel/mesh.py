@@ -1,0 +1,120 @@
+"""Device mesh + logical sharding rules: the whole parallelism runtime.
+
+TPU-native replacement for the reference's process-group machinery:
+- `init_par_groups` building 6 torch.distributed communicators
+  (`src/UCF_VIT/utils/misc.py:129-238`) -> ONE `jax.sharding.Mesh` with named
+  axes ('ddp', 'fsdp', 'sp', 'tp').
+- The hand-written conjugate collectives (`utils/dist_functions.py`) and the
+  FSDP wrapper stack (`train_masked_fsdp.py:361-396`) -> GSPMD: logical axis
+  names on every parameter (see `models/blocks.py`) are mapped to mesh axes by
+  LOGICAL_RULES, and XLA inserts forward/backward collectives automatically.
+- The per-step TP batch broadcast (`train_masked_fsdp.py:486-533`) ->
+  unnecessary: batches are sharded over ('ddp','fsdp') and replicated over
+  'tp' by construction.
+
+Axis semantics (reference parallelism config keys map 1:1):
+  ddp  — simple_ddp_size   (replica / HYBRID_SHARD outer axis)
+  fsdp — fsdp_size         (parameter-sharding axis, ZeRO-3 style)
+  sp   — seq_par_size      (sequence parallelism — real here, asserted ==1 in
+                            the reference, `train_masked_fsdp.py:220`)
+  tp   — tensor_par_size   (Megatron column/row sharding of qkv/proj/fc1/fc2)
+
+tp is the innermost (fastest-varying) mesh dim so TP collectives ride
+neighboring ICI links, matching the reference's contiguous-rank TP groups
+(`misc.py:133-142`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DDP = "ddp"
+AXIS_FSDP = "fsdp"
+AXIS_SP = "sp"
+AXIS_TP = "tp"
+MESH_AXES = (AXIS_DDP, AXIS_FSDP, AXIS_SP, AXIS_TP)
+
+# Batch is data-parallel over both ddp and fsdp (reference:
+# data_par_size = fsdp_size * simple_ddp_size, `train_masked_fsdp.py:219`).
+DATA_AXES = (AXIS_DDP, AXIS_FSDP)
+
+# Logical axis name -> mesh axis (None = replicated). These names are attached
+# to params via nn.with_partitioning in models/blocks.py and to activations
+# via nn.with_logical_constraint.
+LOGICAL_RULES = (
+    # activations
+    ("batch", DATA_AXES),
+    ("seq", AXIS_SP),
+    ("heads", AXIS_TP),
+    # parameters
+    ("embed", AXIS_FSDP),  # ZeRO-3-style param sharding on the fsdp axis
+    ("mlp", AXIS_TP),  # fc1 column-parallel (fsdp/building_blocks.py:123)
+    ("qkv", AXIS_TP),  # qkv column-parallel (fsdp/building_blocks.py:169)
+    ("tp_in", AXIS_TP),  # proj/fc2 row-parallel (fsdp/building_blocks.py:127,173)
+    ("dec_embed", None),
+    ("embed_out", None),
+    ("classes", None),
+)
+
+
+def make_mesh(
+    simple_ddp_size: int = 1,
+    fsdp_size: int = 1,
+    seq_par_size: int = 1,
+    tensor_par_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the 4-axis mesh from the reference parallelism config keys."""
+    if devices is None:
+        devices = jax.devices()
+    world = simple_ddp_size * fsdp_size * seq_par_size * tensor_par_size
+    assert world == len(devices), (
+        f"world size {world} (= ddp {simple_ddp_size} x fsdp {fsdp_size} x "
+        f"sp {seq_par_size} x tp {tensor_par_size}) != #devices {len(devices)}"
+    )
+    arr = np.asarray(devices).reshape(
+        simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size
+    )
+    return Mesh(arr, MESH_AXES)
+
+
+def mesh_from_config(parallelism: dict, devices=None) -> Mesh:
+    """Reference YAML `parallelism:` section -> Mesh. Keys:
+    simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size."""
+    return make_mesh(
+        simple_ddp_size=int(parallelism.get("simple_ddp_size", 1)),
+        fsdp_size=int(parallelism.get("fsdp_size", 1)),
+        seq_par_size=int(parallelism.get("seq_par_size", 1)),
+        tensor_par_size=int(parallelism.get("tensor_par_size", 1)),
+        devices=devices,
+    )
+
+
+import contextlib
+import flax.linen as nn
+
+
+@contextlib.contextmanager
+def mesh_context(mesh: Mesh):
+    """Activate mesh + logical axis rules: inside this context,
+    nn.with_logical_constraint annotations in the models resolve to mesh
+    shardings (outside any mesh they are no-ops, which is what makes the
+    same model the 'simple mode' numerics oracle — SURVEY.md §4.5)."""
+    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+        yield
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Leading dim over (ddp, fsdp), rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXES, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch pytree onto the mesh, batch-dim-sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+    )

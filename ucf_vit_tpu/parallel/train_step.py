@@ -1,0 +1,152 @@
+"""Sharded train-state creation + generic jitted train step.
+
+Replaces the reference's per-script training plumbing
+(`training_scripts/*.py`, nine copy-pasted loops): one train-step factory
+shared by every task, with GSPMD sharding derived from the logical axis
+metadata flax records at parameter creation.
+
+Covers, TPU-natively:
+- FSDP FULL/HYBRID/NO_SHARD wrapping (`train_masked_fsdp.py:384-391`)
+  -> params sharded per LOGICAL_RULES over the mesh, optimizer state
+  inherits the same shardings.
+- MixedPrecision bf16 policy (`train_masked_fsdp.py:375-381`)
+  -> params stay f32; the model computes in bf16 when `dtype=bf16` is set
+  on the module (flax casts per-layer).
+- ShardedGradScaler (`train_masked_fsdp.py:417-419`) -> optional dynamic
+  loss scaling from utils/optim.py.
+- activation checkpointing (`train_masked_fsdp.py:393-396`)
+  -> `remat=True` on the model (nn.remat around each Block).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+from flax import struct
+from jax.sharding import Mesh
+
+from ucf_vit_tpu.parallel.mesh import DATA_AXES, LOGICAL_RULES
+from ucf_vit_tpu.utils.optim import (
+    LossScaleState,
+    all_finite,
+    init_loss_scale,
+    update_loss_scale,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    loss_scale: Optional[LossScaleState] = None
+
+
+def unbox(tree):
+    """Strip flax Partitioned metadata boxes -> raw arrays."""
+    return jax.tree.map(
+        lambda x: x.unbox() if isinstance(x, nn.Partitioned) else x,
+        tree,
+        is_leaf=lambda x: isinstance(x, nn.Partitioned),
+    )
+
+
+def logical_state_sharding(state_shapes, mesh: Mesh):
+    """PartitionSpec pytree for a TrainState whose params carry logical axes."""
+    logical = nn.get_partition_spec(state_shapes)
+    return nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
+
+
+def create_sharded_train_state(
+    init_fn: Callable[[], Any],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    use_grad_scaler: bool = False,
+    init_scale: float = 8192.0,
+) -> Tuple[TrainState, Any]:
+    """Initialize params + optimizer state directly sharded on the mesh.
+
+    init_fn: zero-arg closure returning the flax variables dict (with
+    Partitioned metadata). Runs under jit with GSPMD out-shardings so no
+    single device ever materializes the full replicated model.
+
+    Returns (state, state_sharding).
+    """
+
+    def make_state():
+        variables = init_fn()
+        params = variables["params"]
+        opt_state = tx.init(unbox(params))
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            loss_scale=init_loss_scale(init_scale) if use_grad_scaler else None,
+        )
+
+    state_shapes = jax.eval_shape(make_state)
+    state_sharding = logical_state_sharding(state_shapes, mesh)
+
+    with mesh:
+        state = jax.jit(make_state, out_shardings=state_sharding)()
+    # Drop metadata boxes after placement; shardings now live on the arrays.
+    state = state.replace(params=unbox(state.params))
+    state_sharding = state_sharding.replace(params=unbox(state_sharding.params))
+    return state, state_sharding
+
+
+def make_train_step(
+    loss_fn: Callable[..., jnp.ndarray],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Build a jitted train step.
+
+    loss_fn(params, batch, rng) -> scalar loss (or (loss, aux)).
+    Sharding is carried by the data: state comes from
+    create_sharded_train_state (params committed on the mesh) and batches
+    from mesh.shard_batch, so jit compiles one SPMD program with XLA
+    inserting all collectives — no in/out_shardings bookkeeping needed.
+    """
+    def step_fn(state: TrainState, batch, rng):
+        def scaled_loss(params):
+            out = loss_fn(params, batch, rng)
+            loss, aux = out if isinstance(out, tuple) else (out, None)
+            scaled = (
+                loss * state.loss_scale.scale if state.loss_scale is not None else loss
+            )
+            return scaled, (loss, aux)
+
+        grads, (loss, aux) = jax.grad(scaled_loss, has_aux=True)(state.params)
+
+        if state.loss_scale is not None:
+            inv = 1.0 / state.loss_scale.scale
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            finite = all_finite(grads)
+            new_scale = update_loss_scale(state.loss_scale, finite)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            # Skip the whole update on overflow (GradScaler.step behavior):
+            # every optimizer-state leaf mirrors a param leaf or is a scalar
+            # counter, so a leafwise select is exact.
+            merge = lambda new, old: jnp.where(finite, new, old)
+            new_params = jax.tree.map(merge, new_params, state.params)
+            new_opt = jax.tree.map(merge, new_opt, state.opt_state)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                loss_scale=new_scale,
+            )
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            )
+        return new_state, loss, aux
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

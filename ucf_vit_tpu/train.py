@@ -1,0 +1,359 @@
+"""Unified trainer CLI: `python -m ucf_vit_tpu.train <config.yaml> [options]`.
+
+Replaces the reference's nine copy-pasted training scripts
+(`training_scripts/*.py`, SURVEY.md §1-L6) with one config-driven loop:
+  1. config parse + validation        (config.py)
+  2. mesh + model + optimizer + resume (parallel/, tasks.py, checkpoint.py)
+  3. data module                       (data/)
+  4. epoch loop: jitted sharded train step, per-step timing, even/odd
+     checkpoints, loss/throughput prints.
+
+Launcher parity: the reference CLI is `<script> <config> {MPI|SLURM}`
+(`train_masked_fsdp.py:651-702`); here rendezvous is
+`jax.distributed.initialize()` (automatic under TPU runtimes / SLURM), and a
+second positional arg is accepted and ignored for drop-in compatibility.
+
+Observability (reference has none, SURVEY.md §5): per-step wall time,
+samples/sec, optional `trainer.profile_dir` to dump a jax.profiler trace of
+steps 10-15.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucf_vit_tpu.config import Config, load_config
+from ucf_vit_tpu.parallel.mesh import mesh_context, mesh_from_config, shard_batch
+from ucf_vit_tpu.parallel.train_step import (
+    TrainState,
+    create_sharded_train_state,
+    make_train_step,
+)
+from ucf_vit_tpu.tasks import build_task
+from ucf_vit_tpu.utils.optim import configure_optimizer
+from ucf_vit_tpu import checkpoint as ckpt
+
+
+# ---------------------------------------------------------------------------
+# Data
+# ---------------------------------------------------------------------------
+
+
+def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator[dict]:
+    """Shape-correct random batches for benchmarking / smoke runs without a
+    dataset on disk (capability-plus; the reference always needs real data)."""
+    rng = np.random.default_rng(seed)
+    nd = 2 if cfg.twoD else 3
+    tile = tuple(cfg.tile_size[:nd])
+    c = cfg.max_channels
+    num_classes = int(
+        cfg.init_args.get("num_classes", cfg.data.get("num_classes", 1000) or 1000)
+    )
+    p = cfg.patch_size
+    while True:
+        batch = {
+            "x": rng.normal(size=(global_batch, c) + tile).astype(np.float32),
+            "variables": tuple(cfg.default_vars[:c] or ("v",)),
+        }
+        if cfg.adaptive_patching:
+            L = cfg.fixed_length
+            batch["seq"] = rng.normal(size=(global_batch, c, L, p**nd)).astype(
+                np.float32
+            )
+            batch["seq_size"] = np.full((global_batch, c, L), 2.0, np.float32)
+            batch["seq_pos"] = rng.uniform(
+                0, tile[0], size=(global_batch, c, L, nd)
+            ).astype(np.float32)
+            if cfg.task in ("unetr", "sap"):
+                batch["seq_label"] = rng.integers(
+                    0, num_classes, size=(global_batch, L) + (p,) * nd
+                ).astype(np.int64)
+        if cfg.task == "classification":
+            batch["label"] = rng.integers(0, num_classes, size=(global_batch,))
+        elif cfg.task == "unetr":
+            batch["label"] = rng.integers(
+                0, num_classes, size=(global_batch, 1) + tile
+            ).astype(np.int64)
+        yield batch
+
+
+def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
+    if synthetic:
+        return None, synthetic_batches(cfg, global_batch)
+
+    from ucf_vit_tpu.data.datamodule import DataModule
+
+    lb = cfg.load_balancing
+    bpre = lb.get("batches_per_rank_epoch")
+    group_list = lb.get("dataset_group_list", "")
+    if lb.get("auto_load_balancing", False):
+        from ucf_vit_tpu.data.load_balance import calculate_load_balancing_from_config
+
+        bpre, group_list = calculate_load_balancing_from_config(
+            cfg.raw, cfg.data_par_size
+        )
+
+    ts = cfg.tile_size + [None] * (3 - len(cfg.tile_size))
+    dm = DataModule(
+        dict_root_dirs=cfg.data["dict_root_dirs"],
+        dict_start_idx=cfg.data["dict_start_idx"],
+        dict_end_idx=cfg.data["dict_end_idx"],
+        dict_buffer_sizes=cfg.data["dict_buffer_sizes"],
+        dict_in_variables=cfg.data["dict_in_variables"],
+        num_channels_used=cfg.data["num_channels_used"],
+        batch_size=global_batch,
+        patch_size=cfg.patch_size,
+        tile_size_x=ts[0],
+        tile_size_y=ts[1],
+        tile_size_z=ts[2],
+        twoD=cfg.twoD,
+        single_channel=cfg.single_channel,
+        dataset_group_list=group_list,
+        batches_per_rank_epoch=bpre,
+        tile_overlap=float(cfg.data.get("tile_overlap", 0.0)),
+        use_all_data=bool(cfg.data.get("use_all_data", False)),
+        adaptive_patching=cfg.adaptive_patching,
+        fixed_length=cfg.fixed_length or 4096,
+        separate_channels=bool(cfg.init_args.get("separate_channels", False)),
+        data_par_size=cfg.data_par_size,
+        dataset=cfg.dataset,
+        return_label=cfg.task in ("classification", "unetr", "sap"),
+        num_classes=cfg.init_args.get("num_classes", cfg.data.get("num_classes")),
+        imagenet_resize=cfg.dataset_options.get("imagenet_resize"),
+        ddp_rank=jax.process_index(),
+    )
+    dm.setup()
+    return dm, None
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def init_distributed() -> None:
+    """jax.distributed rendezvous when launched multi-process (SLURM / TPU
+    runtime discover coordinates automatically)."""
+    if jax.process_count() > 1:
+        return
+    try:
+        import os
+
+        if "SLURM_NTASKS" in os.environ and int(os.environ["SLURM_NTASKS"]) > 1:
+            jax.distributed.initialize()
+    except Exception as e:  # pragma: no cover
+        print(f"jax.distributed.initialize skipped: {e}", flush=True)
+
+
+def example_batch(cfg: Config, global_batch: int) -> dict:
+    return next(synthetic_batches(cfg, global_batch))
+
+
+def train(
+    cfg: Config,
+    max_steps: Optional[int] = None,
+    synthetic: bool = False,
+    log_every: int = 1,
+) -> Dict:
+    init_distributed()
+    mesh = mesh_from_config(cfg.parallelism)
+    model, loss_fn = build_task(cfg)
+
+    trainer, mcfg = cfg.trainer, cfg.model
+    # per-rank batch (reference semantics) x data-parallel ranks = global
+    global_batch = cfg.batch_size * cfg.data_par_size
+    ex = example_batch(cfg, global_batch)
+    var_ids = (
+        model.get_var_ids(ex["variables"])
+        if cfg.init_args.get("use_varemb", False)
+        else None
+    )
+
+    def init_fn():
+        rngs = {
+            "params": jax.random.key(0),
+            "mask": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        }
+        return _init_variables(model, rngs, cfg, ex, var_ids)
+
+    dummy_params = jax.eval_shape(init_fn)["params"]
+    tx = configure_optimizer(
+        dummy_params,
+        lr=float(mcfg.get("lr", 1e-4)),
+        beta_1=float(mcfg.get("beta_1", 0.9)),
+        beta_2=float(mcfg.get("beta_2", 0.95)),
+        weight_decay=float(mcfg.get("weight_decay", 1e-5)),
+        warmup_steps=int(mcfg.get("warmup_steps", 1000)),
+        max_steps=int(mcfg.get("max_steps", 20000)),
+        warmup_start_lr=float(mcfg.get("warmup_start_lr", 1e-8)),
+        eta_min=float(mcfg.get("eta_min", 1e-8)),
+    )
+
+    with mesh_context(mesh):
+        state, state_sharding = create_sharded_train_state(
+            init_fn, tx, mesh,
+            use_grad_scaler=bool(mcfg.get("use_grad_scaler", False)),
+        )
+
+        epoch_start = 0
+        loss_list = []
+        if trainer.get("resume_from_checkpoint", False):
+            abstract = jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+                jax.eval_shape(lambda: state),
+                state_sharding,
+            )
+            payload = ckpt.restore_checkpoint(
+                trainer["checkpoint_path"],
+                trainer["checkpoint_filename_for_loading"],
+                {"epoch": np.asarray(0), "state": abstract,
+                 "loss_list": np.zeros((0,))},
+            )
+            state = payload["state"]
+            epoch_start = int(payload["epoch"]) + 1
+            loss_list = list(np.asarray(payload["loss_list"]))
+            print(f"resumed from epoch {epoch_start - 1}", flush=True)
+
+        def task_loss(params, batch, rng):
+            return loss_fn(params, batch, rng, var_ids=var_ids)
+
+        step = make_train_step(task_loss, tx)
+
+        dm, synth = build_dataloader(cfg, global_batch, synthetic)
+        max_epochs = int(trainer.get("max_epochs", 1))
+        bpre = cfg.load_balancing.get("batches_per_rank_epoch") or {}
+        iterations_per_epoch = max(bpre.values()) if bpre else (max_steps or 100)
+
+        profile_dir = trainer.get("profile_dir")
+        total_steps = 0
+        rng = jax.random.key(int(trainer.get("seed", 0)))
+        device_batch = {
+            k: v for k, v in ex.items() if isinstance(v, np.ndarray)
+        }
+
+        for epoch in range(epoch_start, max_epochs):
+            it = synth if synth is not None else dm.train_dataloader()
+            epoch_loss, count, t_epoch = 0.0, 0, time.perf_counter()
+            for batch in it:
+                if count >= iterations_per_epoch:
+                    break
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+                arrays = {
+                    k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+                }
+                sbatch = shard_batch(mesh, arrays)
+                rng, step_rng = jax.random.split(rng)
+                if profile_dir and total_steps == 10:
+                    jax.profiler.start_trace(profile_dir)
+                t0 = time.perf_counter()
+                state, loss, aux = step(state, sbatch, step_rng)
+                loss_f = float(loss)  # blocks; keeps per-step timing honest
+                dt = time.perf_counter() - t0
+                if profile_dir and total_steps == 15:
+                    jax.profiler.stop_trace()
+                epoch_loss += loss_f
+                count += 1
+                total_steps += 1
+                if jax.process_index() == 0 and count % log_every == 0:
+                    sps = global_batch / dt
+                    msg = f"epoch {epoch} it {count} loss {loss_f:.5f} {dt*1e3:.1f} ms/it {sps:.1f} samples/s"
+                    if aux:
+                        msg += "".join(
+                            f" {k} {float(v):.4f}" for k, v in aux.items()
+                        )
+                    print(msg, flush=True)
+            loss_list.append(epoch_loss / max(count, 1))
+            if jax.process_index() == 0:
+                print(
+                    f"epoch {epoch} done: mean loss {loss_list[-1]:.5f} "
+                    f"({count} its, {time.perf_counter() - t_epoch:.1f}s)",
+                    flush=True,
+                )
+            if trainer.get("checkpoint_path"):
+                ckpt.save_checkpoint(
+                    trainer["checkpoint_path"],
+                    trainer.get("checkpoint_filename", "last"),
+                    epoch,
+                    state,
+                    loss_list,
+                )
+            if dm is not None:
+                dm.reset()
+            if max_steps is not None and total_steps >= max_steps:
+                break
+
+    return {"state": state, "loss_list": loss_list}
+
+
+def _init_variables(model, rngs, cfg: Config, ex: dict, var_ids):
+    """Model init with task-correct example args."""
+    x = jnp.asarray(ex["x"])
+    if cfg.task == "diffusion":
+        t = jnp.zeros((x.shape[0],), jnp.int32)
+        return model.init(rngs, x, t, var_ids, None)
+    if cfg.task == "mae":
+        if cfg.adaptive_patching:
+            seq = jnp.asarray(ex["seq"])
+            seq_ps = jnp.concatenate(
+                [ex["seq_size"][:, 0, :, None], ex["seq_pos"][:, 0]], axis=-1
+            )
+            return model.init(rngs, seq, var_ids, jnp.asarray(seq_ps))
+        return model.init(rngs, x, var_ids, None)
+    if cfg.task == "unetr":
+        if cfg.adaptive_patching:
+            nd = 2 if cfg.twoD else 3
+            side = cfg.sqrt_len * cfg.patch_size
+            seq_img = jnp.zeros((x.shape[0], x.shape[1]) + (side,) * nd, x.dtype)
+            seq_ps = jnp.concatenate(
+                [ex["seq_size"][:, 0, :, None], ex["seq_pos"][:, 0]], axis=-1
+            )
+            return model.init(rngs, x, var_ids, jnp.asarray(seq_ps), seq_img)
+        return model.init(rngs, x, var_ids, None, None)
+    if cfg.task == "sap":
+        nd = 2 if cfg.twoD else 3
+        side = cfg.sqrt_len * cfg.patch_size
+        seq_img = jnp.zeros((x.shape[0], x.shape[1]) + (side,) * nd, x.dtype)
+        seq_ps = jnp.concatenate(
+            [ex["seq_size"][:, 0, :, None], ex["seq_pos"][:, 0]], axis=-1
+        )
+        return model.init(rngs, seq_img, var_ids, jnp.asarray(seq_ps))
+    # classification
+    if cfg.adaptive_patching:
+        seq = jnp.asarray(ex["seq"])
+        seq_ps = jnp.concatenate(
+            [ex["seq_size"][:, 0, :, None], ex["seq_pos"][:, 0]], axis=-1
+        )
+        return model.init(rngs, seq, var_ids, jnp.asarray(seq_ps))
+    return model.init(rngs, x, var_ids, None)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ucf_vit_tpu trainer")
+    parser.add_argument("config")
+    parser.add_argument(
+        "launcher", nargs="?", default=None,
+        help="ignored (reference CLI compatibility: MPI|SLURM)",
+    )
+    parser.add_argument("--task", default=None)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="random data (no dataset on disk needed)")
+    parser.add_argument("--log-every", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, task=args.task)
+    train(cfg, max_steps=args.max_steps, synthetic=args.synthetic,
+          log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

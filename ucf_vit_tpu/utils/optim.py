@@ -52,8 +52,23 @@ def warmup_cosine_schedule(
     return schedule
 
 
+def _unbox(tree):
+    """Strip flax Partitioned metadata boxes if present (accepts either a
+    boxed init/eval_shape tree or raw arrays)."""
+    try:
+        import flax.linen as nn
+    except ImportError:  # pragma: no cover
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.unbox() if isinstance(x, nn.Partitioned) else x,
+        tree,
+        is_leaf=lambda x: isinstance(x, nn.Partitioned),
+    )
+
+
 def _no_decay_mask(params) -> Any:
     """True where weight decay applies (reference substring rule inverted)."""
+    params = _unbox(params)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def decay_for_path(path) -> bool:
