@@ -1,0 +1,68 @@
+"""Flash-attention kernel numerics vs the einsum oracle (pallas interpret
+mode on CPU — the reference's FusedAttn.NONE path is exactly this oracle,
+`simple/building_blocks.py:181-187`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucf_vit_tpu.ops.attention import AttnImpl, einsum_attention, multi_head_attention
+from ucf_vit_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(b=2, h=2, n=197, dh=32, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, h, n, dh)), dtype)
+    return mk(), mk(), mk()
+
+
+def test_flash_forward_matches_einsum_unaligned_len():
+    q, k, v = _qkv(n=197)  # 197 tokens: exercises the padding/mask path
+    out_ref = einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_flash_backward_matches_einsum():
+    q, k, v = _qkv(n=130, dh=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5)
+
+
+def test_flash_bf16_tolerance():
+    q, k, v = _qkv(n=128, dh=64, dtype=jnp.bfloat16)
+    out_ref = einsum_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        sm_scale=q.shape[-1] ** -0.5,
+    )
+    out = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-2)
+
+
+def test_sharded_flash_matches_einsum():
+    """shard_map-wrapped kernel on the 8-device CPU mesh (dp x tp x sp) ==
+    single-device einsum (the sequence-parallel attention path)."""
+    from ucf_vit_tpu.parallel import make_mesh
+    from ucf_vit_tpu.parallel.mesh import mesh_context
+
+    q, k, v = _qkv(b=4, h=2, n=256, dh=16)
+    ref = einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5)
+
+    mesh = make_mesh(2, 1, 2, 2)  # ddp 2 x sp 2 x tp 2
+    with mesh_context(mesh):
+        out = jax.jit(
+            lambda q, k, v: multi_head_attention(
+                q, k, v, impl=AttnImpl.FLASH, interpret=True
+            )
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -63,6 +63,55 @@ def einsum_attention(q, k, v, *, sm_scale: float) -> jnp.ndarray:
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def _active_mesh():
+    """The Mesh whose `with mesh:` context we are tracing under, or None."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:  # pragma: no cover
+        return None
+
+
+def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
+    """Flash attention under a mesh via shard_map.
+
+    GSPMD cannot partition a pallas_call, so the kernel is wrapped in
+    shard_map with the activation layout the models establish
+    ([B, H, N, dh]: batch over (ddp, fsdp), heads over tp, seq over sp).
+    With sp > 1 this IS the sequence-parallel attention (the capability the
+    reference declares but never implements — `seq_par_size` asserted ==1,
+    `train_masked_fsdp.py:220`): each sp shard holds N/sp query rows and
+    all-gathers K/V along sp before the kernel (blockwise KV-gather SP).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    names = set(mesh.axis_names)
+    batch_axes = tuple(a for a in ("ddp", "fsdp") if a in names) or None
+    tp = "tp" if "tp" in names else None
+    sp = "sp" if "sp" in names and mesh.shape.get("sp", 1) > 1 else None
+
+    q_spec = P(batch_axes, tp, sp, None)
+    kv_spec = P(batch_axes, tp, sp, None)
+    out_spec = P(batch_axes, tp, sp, None)
+
+    def local_attn(q, k, v):
+        if sp is not None:
+            k = jax.lax.all_gather(k, sp, axis=2, tiled=True)
+            v = jax.lax.all_gather(v, sp, axis=2, tiled=True)
+        return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+
+    return shard_map(
+        local_attn,
+        mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec),
+        out_specs=out_spec,
+        check_vma=False,  # pallas_call does not propagate varying-mesh-axes
+    )(q, k, v)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -70,6 +119,7 @@ def multi_head_attention(
     *,
     impl: AttnImpl | str = AttnImpl.AUTO,
     sm_scale: float | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs."""
     impl = resolve_impl(impl)
@@ -77,7 +127,10 @@ def multi_head_attention(
         sm_scale = q.shape[-1] ** -0.5
 
     if impl == AttnImpl.FLASH:
-        return flash_attention(q, k, v, sm_scale=sm_scale)
+        mesh = _active_mesh()
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            return _sharded_flash(q, k, v, sm_scale, mesh, interpret)
+        return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
     if impl == AttnImpl.XLA:
         # jax.nn.dot_product_attention wants [B, N, H, dh].
         out = jax.nn.dot_product_attention(

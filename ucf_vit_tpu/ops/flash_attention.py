@@ -252,6 +252,7 @@ def flash_attention(
     sm_scale: float | None = None,
     block_q: int = MIN_BLOCK,
     block_k: int = MIN_BLOCK,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, N, dh] (or [B, H, Nq, dh] x [B, H, Nkv, dh]).
 
@@ -279,40 +280,33 @@ def flash_attention(
 
     # The kernels mask key columns >= the true kv length; bake the true length
     # in before padding so the mask constant is correct.
-    out = _flash_attention_padded_with_len(qf, kf, vf, n_kv, sm_scale, block_q, block_k)
+    out = _flash_len_cache(n_kv, interpret)(qf, kf, vf, sm_scale, block_q, block_k)
     out = out[:, :n_q]
     return out.reshape(b, h, n_q, dh)
 
 
-def _flash_attention_padded_with_len(qf, kf, vf, kv_len, sm_scale, block_q, block_k):
-    # Rebind kv_len via closure into the pallas kernels: the padded arrays
-    # carry n_kv_pad in their shape, so we thread the true length through a
-    # small wrapper that rebuilds the custom-vjp function per (shape, len).
-    return _flash_len_cache(kv_len)(qf, kf, vf, sm_scale, block_q, block_k)
-
-
 @functools.lru_cache(maxsize=None)
-def _flash_len_cache(kv_len: int):
+def _flash_len_cache(kv_len: int, interpret: bool = False):
     @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
     def fn(q, k, v, sm_scale, block_q, block_k):
-        out, _ = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k)
+        out, _ = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret)
         return out
 
     def fn_fwd(q, k, v, sm_scale, block_q, block_k):
-        out, lse = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k)
+        out, lse = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret)
         return out, (q, k, v, out, lse)
 
     def fn_bwd(sm_scale, block_q, block_k, res, do):
         q, k, v, out, lse = res
         return _flash_bwd_len(
-            q, k, v, out, lse, do, kv_len, sm_scale, block_q, block_k
+            q, k, v, out, lse, do, kv_len, sm_scale, block_q, block_k, interpret
         )
 
     fn.defvjp(fn_fwd, fn_bwd)
     return fn
 
 
-def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k):
+def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
     num_q_blocks = n_q // block_q
@@ -349,11 +343,12 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
     return out, lse
 
 
-def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k):
+def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
     num_q_blocks = n_q // block_q
@@ -395,6 +390,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v, do, lse, di)
 
     dq_kernel = functools.partial(
@@ -421,6 +417,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v, do, lse, di)
 
     return dq, dk, dv
