@@ -204,6 +204,7 @@ class VIT(nn.Module):
                         patch_size=self.patch_size,
                         embed_dim=self.embed_dim,
                         twoD=self.twoD,
+                        dtype=self.dtype,
                         name=f"token_embed_{i}",
                     )
                     for i in range(len(self.default_vars))
@@ -213,6 +214,7 @@ class VIT(nn.Module):
                     patch_size=self.patch_size,
                     embed_dim=self.embed_dim,
                     twoD=self.twoD,
+                    dtype=self.dtype,
                     name="token_embed",
                 )
 
@@ -388,6 +390,9 @@ class VIT(nn.Module):
             pos = self.adaptive_pos_dep_emb(seq_ps)  # [B, L, D]
         else:
             pos = self.pos_embed_param
+        # keep the residual stream in the compute dtype (a f32 pos table
+        # would silently promote every residual add to f32)
+        pos = pos.astype(x.dtype)
 
         if self.class_token:
             cls = jnp.broadcast_to(

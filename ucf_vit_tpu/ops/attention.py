@@ -48,11 +48,23 @@ def _default_backend_is_tpu() -> bool:
         return False
 
 
-def resolve_impl(impl: AttnImpl | str) -> AttnImpl:
+# Below this many KV tokens the fully-materialized einsum fusion beats a
+# tiled flash kernel on TPU: at ViT lengths (196-730 tokens) the scores
+# matrix is small, XLA fuses softmax into the matmuls, and flash tiling
+# overhead dominates (measured on v5e: einsum 655 img/s vs flash 272 img/s
+# on ViT-B/16). Flash wins on long sequences where scores don't fit VMEM.
+SHORT_SEQ_THRESHOLD = 1024
+
+
+def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
     if isinstance(impl, str):
         impl = AttnImpl.from_string(impl)
     if impl == AttnImpl.AUTO:
-        return AttnImpl.FLASH if _default_backend_is_tpu() else AttnImpl.XLA
+        if not _default_backend_is_tpu():
+            return AttnImpl.XLA
+        if n_kv is not None and n_kv <= SHORT_SEQ_THRESHOLD:
+            return AttnImpl.EINSUM
+        return AttnImpl.FLASH
     return impl
 
 
@@ -122,7 +134,7 @@ def multi_head_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs."""
-    impl = resolve_impl(impl)
+    impl = resolve_impl(impl, n_kv=k.shape[2])
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
 
