@@ -205,6 +205,27 @@ def train(
 
         epoch_start = 0
         loss_list = []
+        if trainer.get("pretrained_mae_checkpoint"):
+            # UNETR/SAP encoder init from MAE pretraining (reference pattern:
+            # `inference_unetr_simple.py:274-327`, `train_sap_simple.py:308-330`)
+            payload = ckpt.restore_checkpoint(
+                trainer["pretrained_mae_checkpoint"],
+                trainer.get("checkpoint_filename_for_loading", ""),
+            )
+            new_params = ckpt.transfer_mae_encoder(
+                payload["state"]["params"], jax.device_get(state.params),
+                new_pos_embed_len=model.num_patches,
+            )
+            state = state.replace(
+                params=jax.tree.map(
+                    lambda old, new: jax.device_put(
+                        jnp.asarray(new), old.sharding
+                    ),
+                    state.params,
+                    new_params,
+                )
+            )
+            print("initialized encoder from MAE checkpoint", flush=True)
         if trainer.get("resume_from_checkpoint", False):
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
