@@ -44,3 +44,39 @@ def q_sample(
 
 def sample_timesteps(key: jax.Array, batch: int, num_time_steps: int) -> jnp.ndarray:
     return jax.random.randint(key, (batch,), 0, num_time_steps)
+
+
+def ddpm_sample(
+    schedule: DDPMSchedule,
+    denoise_fn,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+) -> jnp.ndarray:
+    """Ancestral DDPM sampling (capability-plus: the reference trains the
+    denoiser but ships no sampler). denoise_fn(x_t, t[B]) -> predicted noise
+    with x_t's shape. Runs the full reverse chain under lax.fori_loop —
+    one compiled program, TPU-friendly.
+    """
+    beta = schedule.beta
+    alpha = 1.0 - beta
+    a_bar = schedule.alpha_bar
+    T = schedule.num_time_steps
+
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape)
+
+    def body(i, carry):
+        x, key = carry
+        t = T - 1 - i
+        tb = jnp.full((shape[0],), t, jnp.int32)
+        eps = denoise_fn(x, tb)
+        coef = beta[t] / jnp.sqrt(1.0 - a_bar[t])
+        mean = (x - coef * eps) / jnp.sqrt(alpha[t])
+        key, nkey = jax.random.split(key)
+        noise = jax.random.normal(nkey, shape)
+        sigma = jnp.sqrt(beta[t])
+        x = jnp.where(t > 0, mean + sigma * noise, mean)
+        return (x, key)
+
+    x, _ = jax.lax.fori_loop(0, T, body, (x, key))
+    return x

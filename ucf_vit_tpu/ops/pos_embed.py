@@ -87,6 +87,49 @@ def sinusoidal_time_embedding_table(time_steps: int, embed_dim: int) -> np.ndarr
     return table
 
 
+def interpolate_pos_embed_2d(
+    pos_embed: np.ndarray, new_grid: tuple, w_h_ratio: int = 2
+) -> np.ndarray:
+    """Bicubic-style 2D resampling of a [1, H*W, D] pos-embed table to a new
+    grid (reference `utils/pos_embed.py:108-131`, DeiT-style; the reference
+    assumes W = w_h_ratio * H). Bilinear here (align_corners=False) — the
+    table is learned, interpolation order is a wash."""
+    _, orig_num, dim = pos_embed.shape
+    orig_h = int((orig_num // w_h_ratio) ** 0.5)
+    orig_w = w_h_ratio * orig_h
+    new_h, new_w = new_grid
+    if (orig_h, orig_w) == (new_h, new_w):
+        return pos_embed
+    grid = pos_embed.reshape(orig_h, orig_w, dim)
+
+    def axis_resample(arr, axis, new_len):
+        old_len = arr.shape[axis]
+        scale = old_len / new_len
+        coords = (np.arange(new_len) + 0.5) * scale - 0.5
+        coords = np.clip(coords, 0, old_len - 1)
+        lo = np.floor(coords).astype(np.int64)
+        hi = np.minimum(lo + 1, old_len - 1)
+        frac = coords - lo
+        a = np.take(arr, lo, axis=axis)
+        b = np.take(arr, hi, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = new_len
+        f = frac.reshape(shape)
+        return a * (1 - f) + b * f
+
+    grid = axis_resample(grid, 0, new_h)
+    grid = axis_resample(grid, 1, new_w)
+    return grid.reshape(1, new_h * new_w, dim).astype(pos_embed.dtype)
+
+
+def interpolate_channel_embed(channel_embed: np.ndarray, new_len: int) -> np.ndarray:
+    """Truncate a [1, V, D] per-variable embedding table to new_len variables
+    (reference `utils/pos_embed.py:135-140` — truncation only)."""
+    if new_len <= channel_embed.shape[1]:
+        return channel_embed[:, :new_len]
+    return channel_embed
+
+
 def interpolate_pos_embed_1d(pos_embed: np.ndarray, new_len: int) -> np.ndarray:
     """Linearly resample a [1, L, D] (or [L, D]) pos-embed table to new_len.
 
