@@ -134,6 +134,11 @@ class FixedOctTree:
     def _build_tree(self):
         h, w, d = self.domain.shape
         assert h > 0 and w > 0 and d > 0, "Wrong img size."
+        assert h == w == d, (
+            "FixedOctTree requires cubic tiles (the reference's axis "
+            "convention only holds for h == w == d; its configs always use "
+            "cubic tile_size, e.g. 64^3)"
+        )
         sat = _svt(self.domain)
 
         def value(c: Cube) -> int:

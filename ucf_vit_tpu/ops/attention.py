@@ -27,10 +27,11 @@ from ucf_vit_tpu.ops.flash_attention import flash_attention
 
 
 class AttnImpl(str, enum.Enum):
-    FLASH = "FLASH"  # Pallas flash-attention kernel (TPU)
+    FLASH = "FLASH"  # Pallas flash-attention kernel (TPU, long sequences)
+    SHORT = "SHORT"  # Pallas fused short-seq kernel (no stored probs: lower memory)
     XLA = "XLA"  # jax.nn.dot_product_attention (XLA-fused)
     EINSUM = "EINSUM"  # plain jnp reference path (numerics oracle)
-    AUTO = "AUTO"  # FLASH on TPU backends, XLA elsewhere
+    AUTO = "AUTO"  # shape-aware: EINSUM short / FLASH long on TPU, XLA elsewhere
 
     @classmethod
     def from_string(cls, s: str) -> "AttnImpl":
@@ -143,6 +144,10 @@ def multi_head_attention(
         if mesh is not None and len(mesh.devices.flat) > 1:
             return _sharded_flash(q, k, v, sm_scale, mesh, interpret)
         return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+    if impl == AttnImpl.SHORT:
+        from ucf_vit_tpu.ops.short_attention import short_attention
+
+        return short_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
     if impl == AttnImpl.XLA:
         # jax.nn.dot_product_attention wants [B, N, H, dh].
         out = jax.nn.dot_product_attention(

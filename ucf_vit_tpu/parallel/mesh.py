@@ -72,6 +72,10 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     world = simple_ddp_size * fsdp_size * seq_par_size * tensor_par_size
+    if world < len(devices):
+        # a smaller-than-host config (e.g. a 1-device smoke run on an
+        # 8-device host) uses the first `world` devices
+        devices = devices[:world]
     assert world == len(devices), (
         f"world size {world} (= ddp {simple_ddp_size} x fsdp {fsdp_size} x "
         f"sp {seq_par_size} x tp {tensor_par_size}) != #devices {len(devices)}"

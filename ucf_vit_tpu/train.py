@@ -88,6 +88,41 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
     if synthetic:
         return None, synthetic_batches(cfg, global_batch)
 
+    if cfg.dataset == "catsdogs":
+        # map-style smoke path with a flat dir of cat.N.jpg / dog.N.jpg
+        # (parity: `train_class_simple_torchDataloader.py:227-240`)
+        import glob
+        import os
+
+        from ucf_vit_tpu.data.catsdogs import CatsDogsDataset, catsdogs_loader
+
+        key = list(cfg.data["dict_root_dirs"])[0]
+        files = sorted(
+            glob.glob(os.path.join(cfg.data["dict_root_dirs"][key], "*.jpg"))
+        )
+        nd = 2 if cfg.twoD else 3
+        ds = CatsDogsDataset(
+            files,
+            cfg.data["dict_in_variables"][key],
+            tuple(cfg.tile_size[:nd]),
+            adaptive_patching=cfg.adaptive_patching,
+            fixed_length=cfg.fixed_length or 196,
+            patch_size=cfg.patch_size,
+            num_channels=len(cfg.data["dict_in_variables"][key]),
+        )
+
+        class _CatsDogsModule:
+            def __init__(self):
+                self._epoch = 0
+
+            def train_dataloader(self):
+                return catsdogs_loader(ds, global_batch, seed=self._epoch)
+
+            def reset(self):
+                self._epoch += 1
+
+        return _CatsDogsModule(), None
+
     from ucf_vit_tpu.data.datamodule import DataModule
 
     lb = cfg.load_balancing
