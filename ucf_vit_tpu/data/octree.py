@@ -139,6 +139,21 @@ class FixedOctTree:
             "convention only holds for h == w == d; its configs always use "
             "cubic tile_size, e.g. 64^3)"
         )
+        # native (C++) build when available — bit-identical, ~10x faster
+        try:
+            from ucf_vit_tpu import native
+
+            built = native.octree_boxes(self.domain, self.fixed_length, self.norm_factor)
+        except Exception:
+            built = None
+        if built is not None:
+            boxes, vals = built
+            self.nodes = [
+                [Cube(*(int(x) for x in b)), int(v)]
+                for b, v in zip(boxes, vals)
+            ]
+            return
+
         sat = _svt(self.domain)
 
         def value(c: Cube) -> int:
@@ -188,12 +203,25 @@ class FixedOctTree:
 
     def _serialize(self, img: np.ndarray, size, nearest: bool):
         h2, w2, d2, c2 = size
+        resize_native = None
+        if h2 == w2 == d2:
+            try:
+                from ucf_vit_tpu.native import resize3d_native as resize_native
+            except Exception:
+                resize_native = None
         seq_patch, seq_size, seq_pos = [], [], []
         for cube, _ in self.nodes:
             area = cube.get_area(img)
             s = area.shape
             assert s[0] == s[1] == s[2], "Need squared input."
-            seq_patch.append(resize_3d(area, (h2, w2, d2), nearest=nearest))
+            patch = None
+            if resize_native is not None:
+                patch = resize_native(
+                    np.ascontiguousarray(area, np.float32), h2, nearest
+                )
+            if patch is None:
+                patch = resize_3d(area, (h2, w2, d2), nearest=nearest)
+            seq_patch.append(patch)
             seq_size.append(cube.get_size()[0])
             seq_pos.append(cube.get_center())
         pad = self.fixed_length - len(seq_patch)

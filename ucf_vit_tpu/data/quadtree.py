@@ -109,6 +109,21 @@ class FixedQuadTree:
     def _build_tree(self) -> None:
         h, w = self.domain.shape
         assert h > 0 and w > 0, "Wrong img size."
+
+        # native (C++) build when available — bit-identical, ~10x faster
+        try:
+            from ucf_vit_tpu import native
+
+            built = native.quadtree_boxes(self.domain, self.fixed_length)
+        except Exception:
+            built = None
+        if built is not None:
+            boxes, vals = built
+            self.nodes = [
+                [Rect(int(b[0]), int(b[1]), int(b[2]), int(b[3])), int(v)]
+                for b, v in zip(boxes, vals)
+            ]
+            return
         sat = _sat(self.domain)
         root = _Node(Rect(0, w, 0, h), self._rect_value(sat, Rect(0, w, 0, h)))
         count = 1
