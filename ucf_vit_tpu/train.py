@@ -278,10 +278,21 @@ def train(
             loss_list = list(np.asarray(payload["loss_list"]))
             print(f"resumed from epoch {epoch_start - 1}", flush=True)
 
-        def task_loss(params, batch, rng):
-            return loss_fn(params, batch, rng, var_ids=var_ids)
+        # one jitted step per variables-set: single_channel / multi-dataset
+        # batches carry different variable names (static ids -> retrace per
+        # set, exactly like the reference's per-variables code paths)
+        use_varemb = bool(cfg.init_args.get("use_varemb", False))
+        _steps = {}
 
-        step = make_train_step(task_loss, tx)
+        def get_step(variables):
+            vids = model.get_var_ids(variables) if use_varemb else None
+            if vids not in _steps:
+                _steps[vids] = make_train_step(
+                    lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v), tx
+                )
+            return _steps[vids]
+
+        step = get_step(ex["variables"])
 
         dm, synth = build_dataloader(cfg, global_batch, synthetic)
         max_epochs = int(trainer.get("max_epochs", 1))
@@ -289,11 +300,14 @@ def train(
         iterations_per_epoch = max(bpre.values()) if bpre else (max_steps or 100)
 
         profile_dir = trainer.get("profile_dir")
+        metrics_file = None
+        if trainer.get("metrics_path") and jax.process_index() == 0:
+            import os
+
+            os.makedirs(os.path.dirname(trainer["metrics_path"]) or ".", exist_ok=True)
+            metrics_file = open(trainer["metrics_path"], "a")
         total_steps = 0
         rng = jax.random.key(int(trainer.get("seed", 0)))
-        device_batch = {
-            k: v for k, v in ex.items() if isinstance(v, np.ndarray)
-        }
 
         for epoch in range(epoch_start, max_epochs):
             it = synth if synth is not None else dm.train_dataloader()
@@ -307,6 +321,7 @@ def train(
                     k: v for k, v in batch.items() if isinstance(v, np.ndarray)
                 }
                 sbatch = shard_batch(mesh, arrays)
+                step = get_step(tuple(batch.get("variables", ex["variables"])))
                 rng, step_rng = jax.random.split(rng)
                 if profile_dir and total_steps == 10:
                     jax.profiler.start_trace(profile_dir)
@@ -327,6 +342,18 @@ def train(
                             f" {k} {float(v):.4f}" for k, v in aux.items()
                         )
                     print(msg, flush=True)
+                    if metrics_file is not None:
+                        import json
+
+                        rec = {
+                            "epoch": epoch, "it": count, "step": total_steps,
+                            "loss": loss_f, "ms_per_it": dt * 1e3,
+                            "samples_per_s": sps,
+                        }
+                        if aux:
+                            rec.update({k: float(v) for k, v in aux.items()})
+                        metrics_file.write(json.dumps(rec) + "\n")
+                        metrics_file.flush()
             loss_list.append(epoch_loss / max(count, 1))
             if jax.process_index() == 0:
                 print(
