@@ -88,3 +88,21 @@ def test_short_attention_matches_einsum():
     )(q, k, v)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_ulysses_sp_flash_matches_einsum():
+    """sp>1 with head count divisible -> Ulysses a2a path."""
+    from ucf_vit_tpu.parallel import make_mesh
+    from ucf_vit_tpu.parallel.mesh import mesh_context
+
+    # H=4, tp=1, sp=2: local_heads 4 % 2 == 0 -> Ulysses
+    q, k, v = _qkv(b=4, h=4, n=256, dh=16, seed=3)
+    ref = einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5)
+    mesh = make_mesh(2, 1, 2, 2)
+    with mesh_context(mesh):
+        out = jax.jit(
+            lambda q, k, v: multi_head_attention(
+                q, k, v, impl=AttnImpl.FLASH, interpret=True
+            )
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -110,10 +110,28 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     kv_spec = P(batch_axes, tp, sp, None)
     out_spec = P(batch_axes, tp, sp, None)
 
+    sp_size = mesh.shape.get("sp", 1) if sp else 1
+    tp_size = mesh.shape.get("tp", 1) if tp else 1
+    local_heads = q.shape[1] // tp_size
+    use_ulysses = sp is not None and local_heads % sp_size == 0
+
     def local_attn(q, k, v):
-        if sp is not None:
-            k = jax.lax.all_gather(k, sp, axis=2, tiled=True)
-            v = jax.lax.all_gather(v, sp, axis=2, tiled=True)
+        if sp is None:
+            return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+        if use_ulysses:
+            # Ulysses SP: a2a swaps head-sharding for seq-sharding, so each
+            # shard computes full-sequence attention on H/(tp*sp) heads —
+            # no KV duplication (DeepSpeed-Ulysses; the pattern the
+            # reference's unused a2a collectives were staged for,
+            # `dist_functions.py:617-677`).
+            q = jax.lax.all_to_all(q, sp, split_axis=1, concat_axis=2, tiled=True)
+            k = jax.lax.all_to_all(k, sp, split_axis=1, concat_axis=2, tiled=True)
+            v = jax.lax.all_to_all(v, sp, split_axis=1, concat_axis=2, tiled=True)
+            o = flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+            return jax.lax.all_to_all(o, sp, split_axis=2, concat_axis=1, tiled=True)
+        # fallback: gather K/V along sp, keep queries sharded
+        k = jax.lax.all_gather(k, sp, axis=2, tiled=True)
+        v = jax.lax.all_gather(v, sp, axis=2, tiled=True)
         return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
 
     return shard_map(
