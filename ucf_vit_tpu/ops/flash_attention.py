@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 MIN_BLOCK = 128
 NUM_LANES = 128
+# Measured on v5e at N=2048-4096 (dh=64): 512/1024 runs 4-6x faster than
+# 128/128 (bigger MXU tiles, fewer grid steps); clamped to padded lengths.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -250,8 +254,8 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     sm_scale: float | None = None,
-    block_q: int = MIN_BLOCK,
-    block_k: int = MIN_BLOCK,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, N, dh] (or [B, H, Nq, dh] x [B, H, Nkv, dh]).
