@@ -246,3 +246,29 @@ def test_catsdogs_dataset(tmp_path):
     )
     s2 = ds2[0]
     assert s2["seq"].shape == (3, 7, 64)
+
+
+def test_process_channels_multichannel_adaptive_shapes():
+    """Multi-channel (imagenet-style) adaptive: one tree across channels;
+    seq [B,C,L,p^2] but seq_size/seq_pos get a singleton channel dim
+    (reference collate `datamodule.py:73-75`)."""
+    rng = np.random.default_rng(0)
+    items = [
+        (
+            rng.integers(0, 255, (3, 32, 32)).astype(np.uint8),
+            np.int64(1),
+            ("r", "g", "b"),
+        )
+        for _ in range(2)
+    ]
+    pc = ProcessChannels(
+        items, num_channels=3, single_channel=False, return_label=True,
+        adaptive_patching=True, separate_channels=False, patch_size=8,
+        fixed_length=7, twoD=True, dataset="imagenet", batch_size=2,
+        rng=rng,
+    )
+    b = next(iter(BatchIterator(pc, 2, "imagenet")))
+    assert b["seq"].shape == (2, 3, 7, 64)
+    assert b["seq_size"].shape == (2, 1, 7)
+    assert b["seq_pos"].shape == (2, 1, 7, 2)
+    assert b["label"].shape == (2,)

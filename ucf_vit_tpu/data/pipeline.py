@@ -398,11 +398,15 @@ class ProcessChannels:
             seq, size, pos, qdt = self._patchify_sample(np_image)
             if seq.ndim == 2:  # single-channel patchify: [L, p^d]
                 seq = seq[None]
-                size = np.asarray(size)[None]
-                pos = np.asarray(pos)[None]
+            size = np.asarray(size, dtype=np.float32)
+            pos = np.asarray(pos, dtype=np.float32)
+            if size.ndim == 1:
+                # one tree across all channels: add the channel dim the
+                # reference collate adds via expand_dims (`datamodule.py:73-75`)
+                size, pos = size[None], pos[None]
             sample["seq"] = seq.astype(np.float32)
-            sample["seq_size"] = np.asarray(size, dtype=np.float32)
-            sample["seq_pos"] = np.asarray(pos, dtype=np.float32)
+            sample["seq_size"] = size
+            sample["seq_pos"] = pos
             if label is not None and self.dataset != "imagenet":
                 qdt_ = qdt[0] if isinstance(qdt, list) else qdt
                 sample["seq_label"] = self._serialize_label(qdt_, label)
