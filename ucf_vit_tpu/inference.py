@@ -101,7 +101,7 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
     else:
         from ucf_vit_tpu.train import build_dataloader
 
-        dm, _ = build_dataloader(cfg, batch_size, synthetic=False)
+        dm, _, _ = build_dataloader(cfg, batch_size, synthetic=False)
         it = dm.train_dataloader()
 
     dices = []

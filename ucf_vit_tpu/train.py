@@ -85,8 +85,9 @@ def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator
 
 
 def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
+    """Returns (datamodule, synthetic_iter, batches_per_rank_epoch)."""
     if synthetic:
-        return None, synthetic_batches(cfg, global_batch)
+        return None, synthetic_batches(cfg, global_batch), None
 
     if cfg.dataset == "catsdogs":
         # map-style smoke path with a flat dir of cat.N.jpg / dog.N.jpg
@@ -121,7 +122,7 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
             def reset(self):
                 self._epoch += 1
 
-        return _CatsDogsModule(), None
+        return _CatsDogsModule(), None, None
 
     from ucf_vit_tpu.data.datamodule import DataModule
 
@@ -165,7 +166,7 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
         ddp_rank=jax.process_index(),
     )
     dm.setup()
-    return dm, None
+    return dm, None, bpre
 
 
 # ---------------------------------------------------------------------------
@@ -294,9 +295,12 @@ def train(
 
         step = get_step(ex["variables"])
 
-        dm, synth = build_dataloader(cfg, global_batch, synthetic)
+        dm, synth, bpre = build_dataloader(cfg, global_batch, synthetic)
         max_epochs = int(trainer.get("max_epochs", 1))
-        bpre = cfg.load_balancing.get("batches_per_rank_epoch") or {}
+        if bpre is None:
+            bpre = cfg.load_balancing.get("batches_per_rank_epoch") or {}
+        # all ranks step in lockstep for the longest dataset group; smaller
+        # groups refill via keys_to_add (reference `train_masked_fsdp.py:461-464`)
         iterations_per_epoch = max(bpre.values()) if bpre else (max_steps or 100)
 
         profile_dir = trainer.get("profile_dir")
