@@ -1,0 +1,27 @@
+"""All shipped configs load, validate, and build their task models."""
+
+import glob
+import os
+
+import pytest
+
+from ucf_vit_tpu.config import load_config
+from ucf_vit_tpu.tasks import build_task
+
+CONFIGS = sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "..", "configs", "**", "*.yaml"),
+              recursive=True)
+)
+
+
+def test_found_all_eight_configs():
+    assert len(CONFIGS) == 8
+
+
+@pytest.mark.parametrize("path", CONFIGS)
+def test_config_loads_and_builds(path):
+    cfg = load_config(path)
+    assert cfg.task in ("classification", "mae", "unetr", "sap", "diffusion")
+    model, loss_fn = build_task(cfg)
+    assert model is not None and callable(loss_fn)
+    assert cfg.world_size >= 1
