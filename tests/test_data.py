@@ -272,3 +272,25 @@ def test_process_channels_multichannel_adaptive_shapes():
     assert b["seq_size"].shape == (2, 1, 7)
     assert b["seq_pos"].shape == (2, 1, 7, 2)
     assert b["label"].shape == (2,)
+
+
+def test_process_channels_worker_pool_matches_shapes():
+    """num_workers>0 routes patchify through a process pool; output shapes
+    and sample count match the in-process path."""
+    rng = np.random.default_rng(0)
+    items = [
+        (rng.random((1, 32, 32)).astype(np.float32), ("ct",)) for _ in range(4)
+    ]
+    kw = dict(
+        num_channels=1, single_channel=True, return_label=False,
+        adaptive_patching=True, separate_channels=False, patch_size=8,
+        fixed_length=7, twoD=True, dataset="basic_ct", batch_size=2,
+    )
+    local = list(ProcessChannels(items, rng=np.random.default_rng(1), **kw))
+    pooled = list(
+        ProcessChannels(items, num_workers=2, rng=np.random.default_rng(1), **kw)
+    )
+    assert len(local) == len(pooled) == 4
+    for a, b in zip(local, pooled):
+        assert a["seq"].shape == b["seq"].shape
+        np.testing.assert_array_equal(a["x"], b["x"])  # same order

@@ -90,6 +90,7 @@ class DataModule:
         ddp_rank: int = 0,
         seed: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         assert len(dict_root_dirs) <= data_par_size, (
             "need at least one data-parallel rank per dataset"
@@ -126,6 +127,9 @@ class DataModule:
         self.imagenet_resize = imagenet_resize or {"imagenet": (256, 256)}
         self.ddp_rank = ddp_rank
         self.prefetch = prefetch
+        # reference semantics: num_workers==1 is the pinned single-worker
+        # DataLoader (in-process here); >1 enables the patchify process pool
+        self.num_workers = max(int(num_workers) - 1, 0)
         self._epoch = 0
         self._seed = seed
 
@@ -194,6 +198,7 @@ class DataModule:
             dataset=self.dataset,
             num_classes=self.num_classes,
             batch_size=self.batch_size,
+            num_workers=self.num_workers,
             rng=rng,
         )
         return BatchIterator(processed, self.batch_size, self.dataset)

@@ -336,9 +336,11 @@ class ProcessChannels:
                  separate_channels: bool, patch_size: int, fixed_length: int,
                  twoD: bool, dataset: str, num_classes: Optional[int] = None,
                  batch_size: int = 1,
+                 num_workers: int = 0,
                  rng: Optional[np.random.Generator] = None):
         self.source = source
         self.batch_size = batch_size
+        self.num_workers = num_workers
         self.num_channels = num_channels
         self.single_channel = single_channel
         self.return_label = return_label
@@ -418,7 +420,57 @@ class ProcessChannels:
             )
         return sample
 
+    # ----------------------------------------------------- parallel workers
+
+    def _spec(self) -> dict:
+        return dict(
+            num_channels=self.num_channels,
+            single_channel=self.single_channel,
+            return_label=self.return_label,
+            adaptive_patching=self.adaptive_patching,
+            separate_channels=self.separate_channels,
+            patch_size=self.patch_size,
+            fixed_length=self.fixed_length,
+            twoD=self.twoD,
+            dataset=self.dataset,
+            num_classes=self.num_classes,
+            batch_size=self.batch_size,
+        )
+
     def __iter__(self):
+        """Stream samples; with num_workers > 0 the patchify/serialize work
+        runs in a process pool (the reference hard-caps num_workers at 1,
+        `datamodule.py:245-248`; host-side patchify is the input bottleneck
+        for feeding TPUs, SURVEY.md §3.3 hot-loops)."""
+        if self.num_workers <= 0 or not self.adaptive_patching:
+            yield from self._iter_local()
+            return
+
+        import collections
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        window = 2 * self.num_workers
+        with ProcessPoolExecutor(
+            max_workers=self.num_workers,
+            # spawn: never fork a process holding a live TPU/JAX client
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=_pool_init,
+            initargs=(self._spec(),),
+        ) as pool:
+            pending = collections.deque()
+            for args in self._raw_samples():
+                pending.append(pool.submit(_pool_make_sample, args))
+                while len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
+    def _iter_local(self):
+        for img, vars_out, lbl in self._raw_samples():
+            yield self._make_sample(img, vars_out, lbl)
+
+    def _raw_samples(self):
         # single_channel mode buffers each variable's stream and flushes a
         # full batch of ONE variable at a time, so every downstream batch is
         # channel-pure (parity: `dataset.py:611-640` buffer-per-channel flush).
@@ -439,8 +491,24 @@ class ProcessChannels:
                     buffers[i].append((data, tuple(variables), label))
                 if len(buffers[i]) == self.batch_size:
                     while buffers[i]:
-                        img, vars_out, lbl = buffers[i].pop()
-                        yield self._make_sample(img, vars_out, lbl)
+                        yield buffers[i].pop()
+
+
+_POOL_PC: Optional[ProcessChannels] = None
+
+
+def _pool_init(spec: dict) -> None:
+    """Worker-process initializer: build a source-less ProcessChannels with a
+    per-process RNG (patchify smoothing/canny augmentations stay random)."""
+    global _POOL_PC
+    _POOL_PC = ProcessChannels(
+        source=None, rng=np.random.default_rng(os.getpid()), **spec
+    )
+
+
+def _pool_make_sample(args):
+    img, vars_out, lbl = args
+    return _POOL_PC._make_sample(img, vars_out, lbl)
 
 
 def collate(samples: List[dict], dataset: str) -> dict:

@@ -164,6 +164,7 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
         num_classes=cfg.init_args.get("num_classes", cfg.data.get("num_classes")),
         imagenet_resize=cfg.dataset_options.get("imagenet_resize"),
         ddp_rank=jax.process_index(),
+        num_workers=int(cfg.data.get("num_workers", 1)),
     )
     dm.setup()
     return dm, None, bpre
