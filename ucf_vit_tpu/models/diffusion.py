@@ -130,8 +130,7 @@ class DiffusionVIT(VIT):
             time_emb.astype(x.dtype), deterministic=deterministic
         )[:, None, :]
         x = x + time_emb
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        x = self.run_blocks(x, deterministic)
         return self.norm(x)
 
     def forward_head(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

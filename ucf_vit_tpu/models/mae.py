@@ -187,8 +187,7 @@ class MAE(VIT):
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
         x, mask, ids_restore = self.random_masking(x, mask_noise)
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        x = self.run_blocks(x, deterministic)
         return self.norm(x), mask, ids_restore
 
     def __call__(

@@ -43,6 +43,21 @@ from ucf_vit_tpu.ops.pos_embed import (
 )
 
 
+class _ScanBlockBody(nn.Module):
+    """nn.scan body: one Block applied to the carry; also emits the layer
+    output so forward_intermediates can slice per-layer activations."""
+
+    block_cls: type
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        x = self.block_cls(drop_path=0.0, name="block", **self.block_kwargs)(
+            x, deterministic
+        )
+        return x, x
+
+
 def _to_tuple(img_size, twoD: bool) -> Tuple[int, ...]:
     n = 2 if twoD else 3
     if isinstance(img_size, int):
@@ -84,6 +99,7 @@ class VIT(nn.Module):
     use_adaptive_pos_emb: bool = False
     sqrt_len_method: bool = False
     remat: bool = False  # activation checkpointing on each Block
+    scan_layers: bool = False  # lax.scan over blocks (O(1) compile in depth)
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
 
     # ---------------------------------------------------------------- config
@@ -278,24 +294,41 @@ class VIT(nn.Module):
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block, static_argnums=(1,))
-        dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
-        self.blocks = [
-            block_cls(
-                dim=self.embed_dim,
-                num_heads=self.num_heads,
-                attn_impl=self.attn_impl,
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias,
-                qk_norm=self.qk_norm,
-                init_values=self.init_values,
-                proj_drop=self.proj_drop_rate,
-                attn_drop=self.attn_drop_rate,
-                drop_path=float(dpr[i]),
-                dtype=self.dtype,
-                name=f"blocks_{i}",
+        block_kwargs = dict(
+            dim=self.embed_dim,
+            num_heads=self.num_heads,
+            attn_impl=self.attn_impl,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            init_values=self.init_values,
+            proj_drop=self.proj_drop_rate,
+            attn_drop=self.attn_drop_rate,
+            dtype=self.dtype,
+        )
+        if self.scan_layers:
+            # lax.scan over one stacked Block: compile time O(1) in depth —
+            # the big-model pattern the reference cannot express with its
+            # per-layer module lists. Stochastic depth varies per layer, so
+            # scan requires drop_path_rate == 0 (all shipped configs use 0).
+            assert self.drop_path_rate == 0.0, (
+                "scan_layers requires drop_path_rate == 0"
             )
-            for i in range(self.depth)
-        ]
+            self.blocks_scan = nn.scan(
+                _ScanBlockBody,
+                length=self.depth,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(block_cls=block_cls, block_kwargs=block_kwargs, name="blocks")
+            self.blocks = None
+        else:
+            dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
+            self.blocks = [
+                block_cls(drop_path=float(dpr[i]), name=f"blocks_{i}", **block_kwargs)
+                for i in range(self.depth)
+            ]
         self.norm = layer_norm(name="norm")
 
         # --- head -------------------------------------------------------------
@@ -407,6 +440,14 @@ class VIT(nn.Module):
 
     # --------------------------------------------------------------- encoder
 
+    def run_blocks(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.scan_layers:
+            x, _ = self.blocks_scan(x, deterministic)
+            return x
+        for blk in self.blocks:
+            x = blk(x, deterministic)
+        return x
+
     def forward_features(
         self,
         x: jnp.ndarray,
@@ -416,8 +457,7 @@ class VIT(nn.Module):
     ) -> jnp.ndarray:
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        x = self.run_blocks(x, deterministic)
         return self.norm(x)
 
     def forward_intermediates(
@@ -433,9 +473,13 @@ class VIT(nn.Module):
         Intermediates are spatial tokens only (prefix stripped), un-normed —
         parity with reference `simple/arch.py:995-1086`.
         """
-        take = set(indices or [])
+        take = list(indices or [])
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
+        if self.scan_layers:
+            x, ys = self.blocks_scan(x, deterministic)  # ys: [depth, B, L, D]
+            intermediates = [ys[i][:, self.num_prefix_tokens :] for i in take]
+            return self.norm(x), intermediates
         intermediates = []
         for i, blk in enumerate(self.blocks):
             x = blk(x, deterministic)

@@ -67,6 +67,7 @@ def _common_kwargs(cfg: Config) -> dict:
         and cfg.adaptive_patching,
         attn_impl=_attn_impl(cfg),
         remat=bool(cfg.trainer.get("remat", cfg.parallelism.get("fsdp_size", 1) > 1)),
+        scan_layers=bool(cfg.trainer.get("scan_layers", ia.get("scan_layers", False))),
         dtype=jnp.bfloat16 if cfg.trainer.get("data_type") == "bfloat16" else None,
     )
 
