@@ -436,9 +436,16 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="random data (no dataset on disk needed)")
     parser.add_argument("--log-every", type=int, default=1)
+    parser.add_argument("--single-device", action="store_true",
+                        help="override parallelism to 1:1:1:1 (smoke runs)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config, task=args.task)
+    if args.single_device:
+        cfg.raw["parallelism"] = {
+            "fsdp_size": 1, "simple_ddp_size": 1,
+            "tensor_par_size": 1, "seq_par_size": 1,
+        }
     train(cfg, max_steps=args.max_steps, synthetic=args.synthetic,
           log_every=args.log_every)
 
