@@ -1,0 +1,74 @@
+"""Checkpoint even/odd round trip + MAE encoder transfer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucf_vit_tpu import checkpoint as ckpt
+from ucf_vit_tpu.models import MAE, UNETR
+from ucf_vit_tpu.ops.attention import AttnImpl
+from ucf_vit_tpu.parallel.train_step import TrainState, unbox
+
+
+def _state(seed=0):
+    params = {
+        "w": jnp.full((4, 4), float(seed)),
+        "pos_embed": jnp.arange(8.0).reshape(1, 4, 2),
+    }
+    return TrainState(
+        step=jnp.asarray(seed, jnp.int32), params=params, opt_state={"mu": params}
+    )
+
+
+def test_even_odd_roundtrip(tmp_path):
+    path = str(tmp_path)
+    p_even = ckpt.save_checkpoint(path, "last", epoch=4, state=_state(4),
+                                  loss_list=[1.0, 0.5])
+    p_odd = ckpt.save_checkpoint(path, "last", epoch=5, state=_state(5),
+                                 loss_list=[1.0, 0.5, 0.3])
+    assert p_even.endswith("last_even") and p_odd.endswith("last_odd")
+
+    # epoch 6 overwrites the even slot; odd survives (crash robustness)
+    ckpt.save_checkpoint(path, "last", epoch=6, state=_state(6), loss_list=[0.2])
+    got = ckpt.restore_checkpoint(path, "last_odd")
+    assert int(got["epoch"]) == 5
+    np.testing.assert_array_equal(np.asarray(got["state"]["params"]["w"]),
+                                  np.full((4, 4), 5.0))
+    got6 = ckpt.restore_checkpoint(path, "last_even")
+    assert int(got6["epoch"]) == 6
+    assert list(np.asarray(got6["loss_list"])) == [0.2]
+
+
+def test_transfer_mae_encoder():
+    common = dict(
+        img_size=(16, 16), patch_size=8, in_chans=1, embed_dim=16, depth=4,
+        num_heads=2, class_token=False, default_vars=("v",),
+        attn_impl=AttnImpl.EINSUM,
+    )
+    mae = MAE(mask_ratio=0.5, decoder_depth=1, decoder_embed_dim=8,
+              decoder_num_heads=2, **common)
+    x = jnp.ones((1, 1, 16, 16))
+    mae_params = unbox(
+        mae.init({"params": jax.random.key(7), "mask": jax.random.key(1)}, x)["params"]
+    )
+
+    unetr = UNETR(num_classes=2, feature_size=2, skip_connection=False, **common)
+    un_params = unbox(unetr.init(jax.random.key(0), x)["params"])
+
+    out = ckpt.transfer_mae_encoder(mae_params, un_params)
+    # encoder weights copied
+    np.testing.assert_array_equal(
+        np.asarray(out["blocks_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(mae_params["blocks_0"]["attn"]["qkv"]["kernel"]),
+    )
+    # decoder-only keys NOT copied into the unetr tree
+    assert "decoder_pred" not in out
+    # unetr-specific weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["out"]["conv"]["kernel"]),
+        np.asarray(un_params["out"]["conv"]["kernel"]),
+    )
+    # pos-embed copied (same length here)
+    np.testing.assert_array_equal(
+        np.asarray(out["pos_embed"]), np.asarray(mae_params["pos_embed"])
+    )
