@@ -12,11 +12,9 @@ Validation asserts mirror the reference's nets
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
-import numpy as np
 import yaml
 
 

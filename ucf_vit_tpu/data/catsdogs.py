@@ -8,7 +8,7 @@ torch DistributedSampler + DataLoader.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

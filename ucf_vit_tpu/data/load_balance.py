@@ -12,16 +12,11 @@ from __future__ import annotations
 import glob
 import math
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ucf_vit_tpu.data.pipeline import (
-    read_imagenet_file,
-    read_nifti_file,
-    read_npy_file,
-    tile_starts,
-)
+from ucf_vit_tpu.data.pipeline import read_nifti_file, read_npy_file, tile_starts
 
 
 def list_files(root_dir: str, dataset: str) -> List[str]:

@@ -22,7 +22,7 @@ different equal-mass leaf to split. Edge maps are randomized augmentations
 from __future__ import annotations
 
 import heapq
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
-import numpy as np
-import flax.linen as nn
 
 from ucf_vit_tpu.models.unet_blocks import (
     MyUnetBlock,

@@ -26,7 +26,7 @@ neighboring ICI links, matching the reference's contiguous-rank TP groups
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -29,7 +29,7 @@ import flax.linen as nn
 from flax import struct
 from jax.sharding import Mesh
 
-from ucf_vit_tpu.parallel.mesh import DATA_AXES, LOGICAL_RULES
+from ucf_vit_tpu.parallel.mesh import LOGICAL_RULES
 from ucf_vit_tpu.utils.optim import (
     LossScaleState,
     all_finite,

@@ -21,7 +21,6 @@ steps 10-15.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 from typing import Dict, Iterator, Optional
 
@@ -32,7 +31,6 @@ import numpy as np
 from ucf_vit_tpu.config import Config, load_config
 from ucf_vit_tpu.parallel.mesh import mesh_context, mesh_from_config, shard_batch
 from ucf_vit_tpu.parallel.train_step import (
-    TrainState,
     create_sharded_train_state,
     make_train_step,
 )

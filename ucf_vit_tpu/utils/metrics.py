@@ -22,8 +22,6 @@ first for dense outputs, [B, L, F] for token outputs) and returns f32 scalars.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
