@@ -56,6 +56,11 @@ def _default_backend_is_tpu() -> bool:
 # on ViT-B/16). Flash wins on long sequences where scores don't fit VMEM.
 SHORT_SEQ_THRESHOLD = 1024
 
+# Sequence-parallel attention strategy under sp > 1:
+#   "auto": Ulysses a2a when local heads divide by sp, else KV-gather.
+#   "ring": ring attention (rotating KV chunks, O(N/sp) memory per chip).
+SP_MODE = "auto"
+
 
 def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
     if isinstance(impl, str):
@@ -118,6 +123,10 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     def local_attn(q, k, v):
         if sp is None:
             return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+        if SP_MODE == "ring":
+            from ucf_vit_tpu.ops.ring_attention import ring_attention
+
+            return ring_attention(q, k, v, sp, sm_scale=sm_scale)
         if use_ulysses:
             # Ulysses SP: a2a swaps head-sharding for seq-sharding, so each
             # shard computes full-sequence attention on H/(tp*sp) heads —
