@@ -118,7 +118,21 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch pytree onto the mesh, batch-dim-sharded."""
+    """Place a host batch pytree onto the mesh, batch-dim-sharded.
+
+    Single-process: the tree holds the global batch; device_put splits it.
+    Multi-process (pods): each host passes its LOCAL portion (global /
+    process_count, matching its DataModule ddp_rank shard) and the global
+    array is assembled across hosts — the jax-native replacement for the
+    reference's per-rank DataLoader + NCCL broadcast feeding
+    (`train_masked_fsdp.py:424-533`)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+        )
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        ),
+        tree,
     )

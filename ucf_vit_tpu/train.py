@@ -202,9 +202,12 @@ def train(
     model, loss_fn = build_task(cfg)
 
     trainer, mcfg = cfg.trainer, cfg.model
-    # per-rank batch (reference semantics) x data-parallel ranks = global
+    # per-rank batch (reference semantics) x data-parallel ranks = global;
+    # each host loads only its local share (shard_batch assembles the global
+    # array across processes)
     global_batch = cfg.batch_size * cfg.data_par_size
-    ex = example_batch(cfg, global_batch)
+    host_batch = global_batch // jax.process_count()
+    ex = example_batch(cfg, host_batch)
     var_ids = (
         model.get_var_ids(ex["variables"])
         if cfg.init_args.get("use_varemb", False)
@@ -294,7 +297,7 @@ def train(
 
         step = get_step(ex["variables"])
 
-        dm, synth, bpre = build_dataloader(cfg, global_batch, synthetic)
+        dm, synth, bpre = build_dataloader(cfg, host_batch, synthetic)
         max_epochs = int(trainer.get("max_epochs", 1))
         if bpre is None:
             bpre = cfg.load_balancing.get("batches_per_rank_epoch") or {}
