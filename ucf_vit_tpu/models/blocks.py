@@ -146,6 +146,7 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    gelu_approx: bool = True  # tanh approx (VPU cost); False = exact erf
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -154,9 +155,10 @@ class Mlp(nn.Module):
             self.hidden_features, kernel_axes=("embed", "mlp"), dtype=self.dtype,
             name="fc1",
         )(x)
-        # tanh-approx gelu: ~40% cheaper on the VPU than exact erf; the
-        # reference uses torch nn.GELU (exact), numerics delta ~1e-3 in bf16
-        x = nn.gelu(x, approximate=True)
+        # tanh-approx gelu by default: ~40% cheaper on the VPU than exact
+        # erf; the reference uses torch nn.GELU (exact). gelu_approx=False
+        # restores exact erf for bit-parity testing.
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = pdense(
             self.out_features, kernel_axes=("mlp", "embed"), dtype=self.dtype,
@@ -239,6 +241,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     init_values: Optional[float] = None
     drop_path: float = 0.0
+    gelu_approx: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -265,6 +268,7 @@ class Block(nn.Module):
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=self.dim,
             drop=self.proj_drop,
+            gelu_approx=self.gelu_approx,
             dtype=self.dtype,
             name="mlp",
         )(y, deterministic)
