@@ -29,10 +29,64 @@ from ucf_vit_tpu.train import synthetic_batches, _init_variables, example_batch
 from ucf_vit_tpu.utils.metrics import dice_metric
 
 
+def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
+                            synthetic: bool = False,
+                            num_samples: int = 64) -> float:
+    """Top-1 accuracy eval (capability-plus: the reference leaves
+    validation/testing to users, `README.md:969`)."""
+    from ucf_vit_tpu.utils.metrics import accuracy
+
+    model, _ = build_task(cfg)
+    batch_size = cfg.batch_size
+    ex = example_batch(cfg, batch_size)
+    var_ids = (
+        model.get_var_ids(ex["variables"])
+        if cfg.init_args.get("use_varemb", False)
+        else None
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "mask": jax.random.key(2)}
+    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    if checkpoint_dir:
+        payload = ckpt.restore_checkpoint(
+            checkpoint_dir, cfg.trainer.get("checkpoint_filename_for_loading", "")
+        )
+        params = payload["state"]["params"]
+        print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
+
+    @jax.jit
+    def forward(params, batch):
+        x = jnp.asarray(batch["seq"] if cfg.adaptive_patching else batch["x"])
+        return model.apply({"params": params}, x, var_ids, _seq_ps(batch))
+
+    if synthetic:
+        it = synthetic_batches(cfg, batch_size)
+    else:
+        from ucf_vit_tpu.train import build_dataloader
+
+        dm, _, _ = build_dataloader(cfg, batch_size, synthetic=False)
+        it = dm.train_dataloader()
+
+    correct, seen = 0.0, 0
+    for i, batch in enumerate(it):
+        if seen >= num_samples:
+            break
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        logits = forward(params, arrays)
+        acc = float(accuracy(logits, jnp.asarray(arrays["label"])))
+        correct += acc * logits.shape[0]
+        seen += logits.shape[0]
+    top1 = correct / max(seen, 1)
+    print(f"top-1 accuracy over {seen} samples: {top1:.4f}", flush=True)
+    return top1
+
+
 def evaluate(cfg, checkpoint_dir: Optional[str] = None,
              mae_checkpoint_dir: Optional[str] = None,
              synthetic: bool = False, num_samples: int = 8,
              png_dir: Optional[str] = None) -> float:
+    if cfg.task == "classification":
+        return evaluate_classification(cfg, checkpoint_dir, synthetic, num_samples)
     assert cfg.task in ("unetr", "sap"), "inference CLI covers segmentation tasks"
     model, _ = build_task(cfg)
 
