@@ -113,10 +113,12 @@ class FileReader:
         keys_to_add: int = 1,
         dataset: str = "imagenet",
         imagenet_resize=(256, 256),
+        read_threads: int = 4,
     ) -> None:
         s = int(start_idx * len(file_list))
         e = int(end_idx * len(file_list))
         self.file_list = list(file_list[s:e])
+        self.read_threads = read_threads
         self.variables = list(variables)
         self.num_channels_available = len(variables)
         self.shard_rank = shard_rank
@@ -157,17 +159,41 @@ class FileReader:
         start = rank * per_worker
         return start, start + per_worker
 
-    def __iter__(self) -> Iterator:
+    def _indices(self):
         iter_start, iter_end = self._shard_bounds()
         per_key = int(len(self.file_list) / self.keys_to_add)
         for m in range(self.keys_to_add):
-            for idx in range(iter_start + m * per_key, iter_end + m * per_key):
-                out = self.read_process_file(self.file_list[idx])
-                if self.return_label:
-                    data, label = out
-                    yield data, label, self.variables
-                else:
-                    yield out, self.variables
+            yield from range(iter_start + m * per_key, iter_end + m * per_key)
+
+    def __iter__(self) -> Iterator:
+        """Reads run through a thread read-ahead window: decode (PIL/cv2,
+        GIL-releasing) overlaps across files — a >1-worker capability the
+        reference's DataLoader pin forbids (`datamodule.py:245-248`)."""
+        if self.read_threads <= 1:
+            for idx in self._indices():
+                yield self._emit(self.read_process_file(self.file_list[idx]))
+            return
+
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = 2 * self.read_threads
+        with ThreadPoolExecutor(max_workers=self.read_threads) as pool:
+            pending = collections.deque()
+            for idx in self._indices():
+                pending.append(
+                    pool.submit(self.read_process_file, self.file_list[idx])
+                )
+                while len(pending) >= window:
+                    yield self._emit(pending.popleft().result())
+            while pending:
+                yield self._emit(pending.popleft().result())
+
+    def _emit(self, out):
+        if self.return_label:
+            data, label = out
+            return data, label, self.variables
+        return out, self.variables
 
 
 # ---------------------------------------------------------------------------
