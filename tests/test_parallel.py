@@ -130,3 +130,34 @@ def test_loss_scale_step_runs_on_mesh():
         state, loss, _ = sstep(state, sbatch, jax.random.key(0))
     assert np.isfinite(float(loss))
     assert float(state.loss_scale.scale) == 8192.0
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 over batch 8 == single step over batch 8 (same loss,
+    equivalent update) for a deterministic loss."""
+    from ucf_vit_tpu.parallel.train_step import TrainState
+
+    model = _model()
+    batch = _batch()
+    loss_fn = _loss_fn(model)
+    params0 = unbox(model.init(jax.random.key(0), batch["x"])["params"])
+    tx = configure_optimizer(params0, lr=1e-3, warmup_steps=2, max_steps=10)
+
+    def run(accum):
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params0,
+            opt_state=tx.init(params0),
+        )
+        step = make_train_step(loss_fn, tx, donate=False, accum_steps=accum)
+        losses = []
+        for i in range(2):
+            state, loss, _ = step(state, batch, jax.random.key(i))
+            losses.append(float(loss))
+        return losses, state
+
+    l1, s1 = run(1)
+    l2, s2 = run(2)
+    # CE over microbatches averages to the full-batch CE (equal sizes)
+    np.testing.assert_allclose(l2, l1, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

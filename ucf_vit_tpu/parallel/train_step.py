@@ -102,6 +102,7 @@ def make_train_step(
     loss_fn: Callable[..., jnp.ndarray],
     tx: optax.GradientTransformation,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted train step.
 
@@ -110,17 +111,53 @@ def make_train_step(
     create_sharded_train_state (params committed on the mesh) and batches
     from mesh.shard_batch, so jit compiles one SPMD program with XLA
     inserting all collectives — no in/out_shardings bookkeeping needed.
+
+    accum_steps > 1 splits the batch into microbatches under lax.scan and
+    accumulates gradients before one optimizer update — keeps each
+    microbatch at the chip's throughput sweet spot for large global batches
+    (measured on v5e: XLA internally chunks batches >= 56 with poor
+    pipelining) and bounds activation memory.
     """
-    def step_fn(state: TrainState, batch, rng):
+    def grads_and_loss(params, batch, rng, scale):
         def scaled_loss(params):
             out = loss_fn(params, batch, rng)
             loss, aux = out if isinstance(out, tuple) else (out, None)
-            scaled = (
-                loss * state.loss_scale.scale if state.loss_scale is not None else loss
-            )
+            scaled = loss * scale if scale is not None else loss
             return scaled, (loss, aux)
 
-        grads, (loss, aux) = jax.grad(scaled_loss, has_aux=True)(state.params)
+        return jax.grad(scaled_loss, has_aux=True)(params)
+
+    def accum_grads(params, batch, rng, scale):
+        if accum_steps == 1:
+            return grads_and_loss(params, batch, rng, scale)
+        micro = jax.tree.map(
+            lambda x: x.reshape(
+                (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]
+            ),
+            batch,
+        )
+        rngs = jax.random.split(rng, accum_steps)
+
+        def body(carry, xs):
+            g_acc, loss_acc = carry
+            mb, r = xs
+            g, (loss, aux) = grads_and_loss(params, mb, r, scale)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, loss_acc + loss), aux
+
+        g0 = jax.tree.map(lambda t: jnp.zeros_like(t), params)
+        (g, loss_sum), auxs = jax.lax.scan(body, (g0, 0.0), (micro, rngs))
+        g = jax.tree.map(lambda t: t / accum_steps, g)
+        aux = (
+            jax.tree.map(lambda a: jnp.mean(a, axis=0), auxs)
+            if auxs is not None
+            else None
+        )
+        return g, (loss_sum / accum_steps, aux)
+
+    def step_fn(state: TrainState, batch, rng):
+        scale = state.loss_scale.scale if state.loss_scale is not None else None
+        grads, (loss, aux) = accum_grads(state.params, batch, rng, scale)
 
         if state.loss_scale is not None:
             inv = 1.0 / state.loss_scale.scale

@@ -291,7 +291,8 @@ def train(
             vids = model.get_var_ids(variables) if use_varemb else None
             if vids not in _steps:
                 _steps[vids] = make_train_step(
-                    lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v), tx
+                    lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v), tx,
+                    accum_steps=int(trainer.get("accum_steps", 1)),
                 )
             return _steps[vids]
 
