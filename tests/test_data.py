@@ -294,3 +294,17 @@ def test_process_channels_worker_pool_matches_shapes():
     for a, b in zip(local, pooled):
         assert a["seq"].shape == b["seq"].shape
         np.testing.assert_array_equal(a["x"], b["x"])  # same order
+
+
+def test_process_channels_return_qdt():
+    rng = np.random.default_rng(0)
+    items = [(rng.random((1, 32, 32)).astype(np.float32), ("ct",)) for _ in range(2)]
+    pc = ProcessChannels(
+        items, num_channels=1, single_channel=True, return_label=False,
+        adaptive_patching=True, separate_channels=False, patch_size=8,
+        fixed_length=7, twoD=True, dataset="basic_ct", batch_size=2,
+        return_qdt=True, rng=rng,
+    )
+    b = next(iter(BatchIterator(pc, 2, "basic_ct")))
+    assert len(b["qdt"]) == 2
+    assert b["qdt"][0].count_patches() == 7

@@ -363,10 +363,12 @@ class ProcessChannels:
                  twoD: bool, dataset: str, num_classes: Optional[int] = None,
                  batch_size: int = 1,
                  num_workers: int = 0,
+                 return_qdt: bool = False,
                  rng: Optional[np.random.Generator] = None):
         self.source = source
         self.batch_size = batch_size
         self.num_workers = num_workers
+        self.return_qdt = return_qdt
         self.num_channels = num_channels
         self.single_channel = single_channel
         self.return_label = return_label
@@ -435,6 +437,11 @@ class ProcessChannels:
             sample["seq"] = seq.astype(np.float32)
             sample["seq_size"] = size
             sample["seq_pos"] = pos
+            if self.return_qdt:
+                # tree objects for visualization/deserialization (parity:
+                # the reference's return_qdt collate outputs,
+                # `datamodule.py:110-122`); host-side only, never jitted
+                sample["qdt"] = qdt
             if label is not None and self.dataset != "imagenet":
                 qdt_ = qdt[0] if isinstance(qdt, list) else qdt
                 sample["seq_label"] = self._serialize_label(qdt_, label)
@@ -461,6 +468,7 @@ class ProcessChannels:
             dataset=self.dataset,
             num_classes=self.num_classes,
             batch_size=self.batch_size,
+            return_qdt=self.return_qdt,
         )
 
     def __iter__(self):
@@ -554,6 +562,8 @@ def collate(samples: List[dict], dataset: str) -> dict:
         batch["label"] = np.stack(labels)
     if "seq_label" in samples[0]:
         batch["seq_label"] = np.stack([s["seq_label"] for s in samples])
+    if "qdt" in samples[0]:
+        batch["qdt"] = [s["qdt"] for s in samples]
     return batch
 
 
