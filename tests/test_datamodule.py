@@ -1,0 +1,137 @@
+"""DataModule semantics under SPMD: per-process file sharding and
+step-level multi-dataset scheduling (the TPU-native redesign of the
+reference's per-rank dataset groups, `dataset.py:122-139`).
+
+Round-2 regression: round 1 sharded files by jax.process_index() against
+data_par_size shards, so a single-process multi-device run only ever read
+shard 0 (1/data_par of the data) and only trained group 0's dataset."""
+
+import os
+
+import numpy as np
+
+from ucf_vit_tpu.data.datamodule import DataModule
+
+
+def _make_ct_dataset(root, n_files, shape=(32, 32, 4), seed=0):
+    d = os.path.join(root, "imagesTr")
+    os.makedirs(d)
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        np.save(
+            os.path.join(d, f"image{i}.npy"),
+            rng.random(shape).astype(np.float32) + np.float32(i),
+        )
+
+
+def _dm(tmp_path, names_sizes, data_par_size, proc_rank=0, num_procs=1,
+        group_list="", bpre=None, batch_size=2, roots=None):
+    if roots is None:
+        roots = {}
+        for name, n in names_sizes:
+            root = str(tmp_path / name)
+            _make_ct_dataset(root, n, seed=hash(name) % 100)
+            roots[name] = root
+    return DataModule(
+        dict_root_dirs=roots,
+        dict_start_idx={k: 0.0 for k, _ in names_sizes},
+        dict_end_idx={k: 1.0 for k, _ in names_sizes},
+        dict_buffer_sizes={k: 4 for k, _ in names_sizes},
+        dict_in_variables={k: ["ct"] for k, _ in names_sizes},
+        num_channels_used={k: 1 for k, _ in names_sizes},
+        batch_size=batch_size,
+        patch_size=8,
+        tile_size_x=32, tile_size_y=32, tile_size_z=4,
+        twoD=False,
+        single_channel=True,
+        dataset_group_list=group_list,
+        batches_per_rank_epoch=bpre,
+        data_par_size=data_par_size,
+        dataset="basic_ct",
+        return_label=False,
+        proc_rank=proc_rank,
+        num_procs=num_procs,
+        prefetch=0,
+    )
+
+
+def test_single_process_reads_whole_dataset(tmp_path):
+    """One process + data_par_size=8 must still see every file (round-1 bug:
+    only 1/8 of files were read)."""
+    dm = _dm(tmp_path, [("only", 8)], data_par_size=8)
+    dm.setup()
+    batches = list(dm.train_dataloader())
+    # 8 files x 1 tile each / batch 2 = 4 batches
+    assert len(batches) == 4
+    # every file appears: the integer offsets baked into each file survive
+    # min-max normalization as distinct tiles; count distinct tile sums
+    sums = set()
+    for b in batches:
+        for s in np.asarray(b["x"]):
+            sums.add(round(float(s.sum()), 3))
+    assert len(sums) == 8, f"expected 8 distinct tiles, got {len(sums)}"
+
+
+def test_two_processes_partition_files(tmp_path):
+    dm0 = _dm(tmp_path, [("only", 8)], data_par_size=8, proc_rank=0, num_procs=2)
+    dm0.setup()
+    # same files, second process
+    dm1 = _dm(
+        tmp_path, [("only", 8)], data_par_size=8, proc_rank=1, num_procs=2,
+        roots=dm0.dict_root_dirs,
+    )
+    dm1.setup()
+
+    def tile_ids(dm):
+        out = set()
+        for b in dm.train_dataloader():
+            for s in np.asarray(b["x"]):
+                out.add(round(float(s.sum()), 3))
+        return out
+
+    ids0, ids1 = tile_ids(dm0), tile_ids(dm1)
+    assert len(ids0) == 4 and len(ids1) == 4
+    assert not (ids0 & ids1), "process shards must be disjoint"
+
+
+def test_multi_dataset_step_schedule_proportional(tmp_path):
+    """gx weights drive a deterministic step-level round-robin: with groups
+    3:1, dataset 'big' gets 3 of every 4 steps and every batch is
+    dataset-pure (carries one dict_key)."""
+    dm = _dm(
+        tmp_path, [("big", 12), ("small", 4)], data_par_size=4,
+        group_list="3:1",
+        bpre={"big": 6, "small": 2},
+    )
+    dm.setup()
+    import itertools
+
+    # the trainer caps each epoch at max(bpre) = 6 global steps
+    keys = [
+        b["dict_key"] for b in itertools.islice(dm.train_dataloader(), 6)
+    ]
+    assert set(keys) <= {"big", "small"}
+    # first 4 scheduled steps follow the 3:1 share
+    assert keys[:4].count("big") == 3
+    assert keys[:4].count("small") == 1
+    # over the epoch, big keeps ~3x small's share (keys_to_add re-lists the
+    # small dataset so it can serve its share for the whole epoch)
+    assert keys.count("big") >= 2 * keys.count("small") > 0
+
+
+def test_schedule_is_deterministic_across_processes(tmp_path):
+    dm_a = _dm(
+        tmp_path, [("big", 12), ("small", 4)], data_par_size=4,
+        group_list="3:1", bpre={"big": 6, "small": 2},
+    )
+    import itertools
+
+    dm_a.setup()
+    keys_a = [b["dict_key"] for b in itertools.islice(dm_a.train_dataloader(), 6)]
+    dm_b = _dm(
+        tmp_path / "copy", [("big", 12), ("small", 4)], data_par_size=4,
+        group_list="3:1", bpre={"big": 6, "small": 2},
+    )
+    dm_b.setup()
+    keys_b = [b["dict_key"] for b in itertools.islice(dm_b.train_dataloader(), 6)]
+    assert keys_a == keys_b

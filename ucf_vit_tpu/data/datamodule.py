@@ -1,11 +1,24 @@
-"""DataModule: multi-source datasets, rank->dataset group assignment,
+"""DataModule: multi-source datasets, dataset step-scheduling,
 epoch reshuffles, batch iterator.
 
 Capability parity with reference NativePytorchDataModule
 (`src/UCF_VIT/dataloaders/datamodule.py:187-523`): multi-dataset training
-with disjoint rank groups per dataset (gx group list), keys_to_add file
-re-listing so small datasets refill while large ones finish an epoch
+weighted by the load-balanced group list (gx), keys_to_add file re-listing
+so small datasets refill while large ones finish an epoch
 (`datamodule.py:436-489`), per-epoch reset, drop-last batching.
+
+TPU-native redesign of the multi-dataset mapping: the reference assigns
+disjoint RANK groups to datasets (one torch process per GPU; each rank
+loops over its own dataset, `dataset.py:122-139`). Under SPMD one JAX
+process hosts many devices and every step is one global program, so
+datasets are scheduled across STEPS instead: each step the WHOLE mesh
+trains one dataset, chosen by a deterministic weighted round-robin with the
+same group-list weights. Per epoch, dataset k contributes
+iterations * group_k / data_par_size steps of the full global batch =
+iterations * batch * group_k samples — exactly the reference's per-dataset
+totals. File sharding is per-PROCESS (every process reads 1/num_procs of
+each dataset), which also fixes the rank-vs-process mismatch that starved
+multi-device single-process runs down to 1/data_par of the data.
 
 Torch DataLoader is replaced by composable numpy iterators plus an optional
 background-thread prefetcher (the reference pinned num_workers==1 anyway,
@@ -87,7 +100,8 @@ class DataModule:
         return_label: bool = False,
         num_classes: Optional[int] = None,
         imagenet_resize: Optional[Dict] = None,
-        ddp_rank: int = 0,
+        proc_rank: int = 0,
+        num_procs: int = 1,
         seed: int = 0,
         prefetch: int = 2,
         num_workers: int = 0,
@@ -125,7 +139,9 @@ class DataModule:
         self.return_label = return_label
         self.num_classes = num_classes
         self.imagenet_resize = imagenet_resize or {"imagenet": (256, 256)}
-        self.ddp_rank = ddp_rank
+        self.proc_rank = proc_rank
+        self.num_procs = num_procs
+        assert 0 <= proc_rank < num_procs
         self.prefetch = prefetch
         # reference semantics: num_workers==1 is the pinned single-worker
         # DataLoader (in-process here); >1 enables the patchify process pool
@@ -136,9 +152,17 @@ class DataModule:
         if dataset == "basic_ct" and return_label:
             assert num_classes is not None, "segmentation needs num_classes"
 
+        # imagenet: classes are pre-grouped into num_procs shards and each
+        # process consumes its own shard chain (key == proc_rank); other
+        # datasets get one file list per dataset key, sharded per-process
+        # inside FileReader.
         self.dict_lister_trains = process_root_dirs(
-            dataset, dict_root_dirs, data_par_size
+            dataset, dict_root_dirs, num_procs
         )
+        if dataset == "imagenet":
+            self.dict_lister_trains = {
+                proc_rank: self.dict_lister_trains[proc_rank]
+            }
         self.dict_data_train: Optional[Dict] = None
 
     # ------------------------------------------------------------------ setup
@@ -157,15 +181,17 @@ class DataModule:
     def _build_chain(self, k, file_list, keys_to_add, rng):
         key = "imagenet" if self.dataset == "imagenet" else k
         variables = self.dict_in_variables[key]
+        # imagenet chains are already per-process class shards; everything
+        # else splits its file list across processes here
+        shards = 1 if self.dataset == "imagenet" else self.num_procs
+        rank = 0 if self.dataset == "imagenet" else self.proc_rank
         reader = FileReader(
             file_list,
             start_idx=self.dict_start_idx[key],
             end_idx=self.dict_end_idx[key],
             variables=variables,
-            shard_rank=self.ddp_rank,
-            data_par_size=self.data_par_size,
-            gx=self.gx,
-            multi_dataset_training=True,
+            shard_rank=rank,
+            data_par_size=shards,
             return_label=self.return_label,
             keys_to_add=keys_to_add,
             dataset=self.dataset,
@@ -225,25 +251,54 @@ class DataModule:
 
     # ------------------------------------------------------------------- iter
 
-    def _my_dataset_key(self):
+    def _schedule_weights(self) -> Dict:
+        """Dataset key -> step share, from the load-balanced group list.
+        The gx weights are the reference's per-dataset rank counts
+        (`dataset_group_list`); here they weight a step-level round-robin
+        instead of a rank split (see module docstring)."""
+        keys = list(self.dict_data_train.keys())
+        if len(keys) == 1:
+            return {keys[0]: 1}
         group_list = [int(x) for x in self.gx.split(":")]
-        assert self.data_par_size == sum(group_list)
-        cum = np.cumsum(group_list)
-        group_id = int(np.where(cum > self.ddp_rank)[0][0])
-        return list(self.dict_data_train.keys())[group_id]
+        assert len(group_list) == len(keys), (
+            f"dataset_group_list has {len(group_list)} entries for "
+            f"{len(keys)} datasets"
+        )
+        assert self.data_par_size == sum(group_list), (
+            f"group list {self.gx} must sum to data_par_size "
+            f"{self.data_par_size}"
+        )
+        return dict(zip(keys, group_list))
 
     def train_dataloader(self) -> Iterator[dict]:
-        """Batches for this rank's dataset group. Each batch dict also
-        carries its dataset key (the reference appends dict_key to every
-        collate output)."""
+        """Scheduled batches across this process's dataset chains: each step
+        one dataset, chosen by deterministic weighted round-robin (all
+        processes compute the same schedule, so the global SPMD batch is
+        dataset-pure). Each batch dict carries its dataset key (the
+        reference appends dict_key to every collate output)."""
         assert self.dict_data_train is not None, "call setup() first"
-        k = self._my_dataset_key()
+        weights = self._schedule_weights()
 
-        def with_key():
-            for batch in self.dict_data_train[k]:
+        def scheduled():
+            iters = {k: iter(self.dict_data_train[k]) for k in weights}
+            emitted = {k: 0 for k in weights}
+            while iters:
+                # proportional scheduler: the dataset currently furthest
+                # below its target share goes next (deterministic in dict
+                # order, identical on every process)
+                k = min(iters, key=lambda k: (emitted[k] + 1) / weights[k])
+                try:
+                    batch = next(iters[k])
+                except StopIteration:
+                    # chain exhausted (keys_to_add refill rounding); keep
+                    # going with the remaining datasets like the reference's
+                    # max-group epoch accounting
+                    del iters[k]
+                    continue
+                emitted[k] += 1
                 batch["dict_key"] = k
                 yield batch
 
         if self.prefetch > 0:
-            return iter(Prefetcher(with_key(), depth=self.prefetch))
-        return with_key()
+            return iter(Prefetcher(scheduled(), depth=self.prefetch))
+        return scheduled()

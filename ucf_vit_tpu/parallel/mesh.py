@@ -122,7 +122,7 @@ def shard_batch(mesh: Mesh, tree):
 
     Single-process: the tree holds the global batch; device_put splits it.
     Multi-process (pods): each host passes its LOCAL portion (global /
-    process_count, matching its DataModule ddp_rank shard) and the global
+    process_count, matching its DataModule per-process file shard) and the global
     array is assembled across hosts — the jax-native replacement for the
     reference's per-rank DataLoader + NCCL broadcast feeding
     (`train_masked_fsdp.py:424-533`)."""

@@ -161,7 +161,8 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
         return_label=cfg.task in ("classification", "unetr", "sap"),
         num_classes=cfg.init_args.get("num_classes", cfg.data.get("num_classes")),
         imagenet_resize=cfg.dataset_options.get("imagenet_resize"),
-        ddp_rank=jax.process_index(),
+        proc_rank=jax.process_index(),
+        num_procs=jax.process_count(),
         num_workers=int(cfg.data.get("num_workers", 1)),
     )
     dm.setup()
@@ -173,18 +174,29 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
 # ---------------------------------------------------------------------------
 
 
-def init_distributed() -> None:
-    """jax.distributed rendezvous when launched multi-process (SLURM / TPU
-    runtime discover coordinates automatically)."""
-    if jax.process_count() > 1:
-        return
-    try:
-        import os
+_DIST_INITIALIZED = False
 
-        if "SLURM_NTASKS" in os.environ and int(os.environ["SLURM_NTASKS"]) > 1:
-            jax.distributed.initialize()
-    except Exception as e:  # pragma: no cover
-        print(f"jax.distributed.initialize skipped: {e}", flush=True)
+
+def init_distributed() -> None:
+    """jax.distributed rendezvous when launched multi-process under SLURM.
+
+    MUST run before any other jax API call: jax.distributed.initialize()
+    refuses to run once a backend exists, and even jax.process_count()
+    initializes one. So the decision to initialize is made purely from the
+    environment (SLURM_NTASKS), mirroring the reference's launcher env
+    sniffing (`train_masked_fsdp.py:682-693`). TPU pod runtimes discover
+    coordinates automatically inside initialize()."""
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return
+    _DIST_INITIALIZED = True
+    import os
+
+    if (
+        int(os.environ.get("SLURM_NTASKS", "1")) > 1
+        and "SLURM_PROCID" in os.environ  # inside srun, not just salloc
+    ):
+        jax.distributed.initialize()
 
 
 def example_batch(cfg: Config, global_batch: int) -> dict:
@@ -304,7 +316,20 @@ def train(
             bpre = cfg.load_balancing.get("batches_per_rank_epoch") or {}
         # all ranks step in lockstep for the longest dataset group; smaller
         # groups refill via keys_to_add (reference `train_masked_fsdp.py:461-464`)
-        iterations_per_epoch = max(bpre.values()) if bpre else (max_steps or 100)
+        if bpre:
+            iterations_per_epoch = max(bpre.values())
+        elif max_steps is not None:
+            iterations_per_epoch = max_steps
+        else:
+            iterations_per_epoch = 100
+            if jax.process_index() == 0:
+                print(
+                    "WARNING: no batches_per_rank_epoch (load_balancing) and "
+                    "no --max-steps; capping each epoch at 100 iterations. "
+                    "Set load_balancing.batches_per_rank_epoch or "
+                    "auto_load_balancing for true epoch accounting.",
+                    flush=True,
+                )
 
         profile_dir = trainer.get("profile_dir")
         metrics_file = None
