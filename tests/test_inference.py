@@ -1,0 +1,92 @@
+"""Inference CLI round-trip tests: the eval path must consume the layouts
+the trainer produces (round-1 regression: SAP 3D inference reassembled with
+a plain reshape, scoring a scrambled image), and adaptive predictions must
+deserialize back to true image space for the PNG overlays."""
+
+import os
+
+import numpy as np
+
+from ucf_vit_tpu.config import Config
+from ucf_vit_tpu.inference import evaluate
+
+
+def _make_ct_dataset(root, n_files, shape, seed=0):
+    di = os.path.join(root, "imagesTr")
+    dl = os.path.join(root, "labelsTr")
+    os.makedirs(di)
+    os.makedirs(dl)
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        np.save(os.path.join(di, f"image{i}.npy"),
+                rng.random(shape).astype(np.float32))
+        np.save(os.path.join(dl, f"image{i}.npy"),
+                rng.integers(0, 2, size=shape).astype(np.int64))
+
+
+def _sap_cfg(root, twoD: bool):
+    # sqrt-len needs exact squares/cubes that satisfy the tree constraints
+    # (==1 mod 3 for quadtree, ==1 mod 7 for octree — like the reference's
+    # 196=14^2 and 729=9^3): 2D 16=4^2, 3D 8=2^3.
+    if twoD:
+        # 3rd tile dim = z-slab for slicing the 3D volumes into 2D tiles
+        fixed_length, tile = 16, [32, 32, 4]
+    else:
+        fixed_length, tile = 8, [16, 16, 16]
+    init = {
+        "default_vars": ["ct"],
+        "tile_size": tile,
+        "patch_size": 4,
+        "embed_dim": 24,
+        "depth": 1,
+        "num_heads": 2,
+        "mlp_ratio": 2,
+        "twoD": twoD,
+        "adaptive_patching": True,
+        "fixed_length": fixed_length,
+        "num_classes": 2,
+        "use_adaptive_pos_emb": True,
+    }
+    data = {
+        "dataset": "basic_ct",
+        "dict_root_dirs": {"d": root},
+        "dict_start_idx": {"d": 0.0}, "dict_end_idx": {"d": 1.0},
+        "dict_buffer_sizes": {"d": 2},
+        "num_channels_used": {"d": 1},
+        "dict_in_variables": {"d": ["ct"]},
+        "batch_size": 1, "single_channel": True,
+        "tile_overlap": 0.0, "use_all_data": False,
+        "num_classes": 2,
+    }
+    raw = {
+        "trainer": {"task": "sap", "max_epochs": 1},
+        "parallelism": {"fsdp_size": 1, "simple_ddp_size": 1,
+                        "tensor_par_size": 1, "seq_par_size": 1},
+        "model": {"lr": 1e-3, "warmup_steps": 2, "max_steps": 10,
+                  "net": {"init_args": init}},
+        "data": data,
+        "load_balancing": {"auto_load_balancing": False},
+    }
+    return Config(raw=raw, task="sap")
+
+
+def test_sap_2d_inference_with_png_deserialization(tmp_path):
+    root = str(tmp_path / "d")
+    _make_ct_dataset(root, 2, (32, 32, 4))
+    cfg = _sap_cfg(root, twoD=True)
+    png_dir = str(tmp_path / "png")
+    d = evaluate(cfg, num_samples=1, png_dir=png_dir)
+    assert np.isfinite(d)
+    assert os.path.exists(os.path.join(png_dir, "sample_0.png"))
+
+
+def test_sap_3d_inference_smoke(tmp_path):
+    """The shipped SAP workload is 3D (configs/basic_ct/sap twoD: False) —
+    the eval path must run the same 6-axis reassembly as training."""
+    root = str(tmp_path / "d")
+    _make_ct_dataset(root, 2, (16, 16, 16))
+    cfg = _sap_cfg(root, twoD=False)
+    png_dir = str(tmp_path / "png")
+    d = evaluate(cfg, num_samples=1, png_dir=png_dir)
+    assert np.isfinite(d)
+    assert os.path.exists(os.path.join(png_dir, "sample_0.png"))

@@ -108,6 +108,42 @@ def test_sharded_matches_single_device(ddp, fsdp, sp, tp):
         ), "expected sharded parameters"
 
 
+def test_opt_state_inherits_param_shardings():
+    """Adam mu/nu must shard like their params under fsdp>1 (ZeRO-3
+    semantics; round-1 regression: tx.init on unboxed params left every
+    moment leaf fully replicated)."""
+    model = _model()
+    batch = _batch()
+    params_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), batch["x"])
+    )["params"]
+    tx = configure_optimizer(params_shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+
+    mesh = make_mesh(1, 4, 1, 2)
+    with mesh_context(mesh):
+        state, sharding = create_sharded_train_state(
+            lambda: model.init(jax.random.key(0), batch["x"]), tx, mesh
+        )
+    param_leaves = jax.tree.leaves(state.params)
+    sharded_params = [l for l in param_leaves if not l.sharding.is_fully_replicated]
+    assert sharded_params, "model too small to shard — fix the fixture"
+    # find the Adam moments inside opt_state: subtrees mirroring params
+    mus = [
+        s.mu
+        for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+        )
+        if hasattr(s, "mu")
+    ]
+    assert mus, "no ScaleByAdamState found in opt_state"
+    mu = mus[0]
+    mismatches = []
+    for p, m in zip(jax.tree.leaves(state.params), jax.tree.leaves(mu)):
+        if p.sharding != m.sharding:
+            mismatches.append((p.shape, p.sharding, m.sharding))
+    assert not mismatches, f"moment shardings differ from params: {mismatches[:3]}"
+
+
 def test_loss_scale_step_runs_on_mesh():
     model = _model()
     batch = _batch()

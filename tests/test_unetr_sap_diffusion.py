@@ -117,3 +117,48 @@ def test_diffusion_vit_and_ddpm():
     tmap = g["params"]["time_embedding_map"]
     gsum = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(tmap))
     assert gsum > 0
+
+
+def test_reassemble_sqrt_len_block_layout():
+    """Token i must land as the i-th row-major pxp(xp) block — shared by the
+    train step and the inference CLI (round-1 regression: the inference SAP
+    3D branch used a plain reshape that scrambled pixel locality)."""
+    from ucf_vit_tpu.tasks import reassemble_sqrt_len
+
+    # 2D: image of side sqrt_len*p cut into row-major blocks
+    s, p = 3, 4
+    img = np.arange(1 * 2 * (s * p) ** 2, dtype=np.float32).reshape(
+        1, 2, s * p, s * p
+    )
+    tokens = (
+        img.reshape(1, 2, s, p, s, p)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(1, 2, s * s, p * p)
+    )
+    out = np.asarray(reassemble_sqrt_len(jnp.asarray(tokens), s, p, True))
+    np.testing.assert_array_equal(out, img)
+
+    # 3D
+    vol = np.arange((s * p) ** 3, dtype=np.float32).reshape(
+        1, 1, s * p, s * p, s * p
+    )
+    tokens3 = (
+        vol.reshape(1, 1, s, p, s, p, s, p)
+        .transpose(0, 1, 2, 4, 6, 3, 5, 7)
+        .reshape(1, 1, s ** 3, p ** 3)
+    )
+    out3 = np.asarray(reassemble_sqrt_len(jnp.asarray(tokens3), s, p, False))
+    np.testing.assert_array_equal(out3, vol)
+
+
+def test_trainer_and_inference_share_reassembly():
+    """The inference CLI must feed the model the same reassembled input the
+    training step does (both route through tasks.reassemble_sqrt_len)."""
+    import inspect
+
+    from ucf_vit_tpu import inference, tasks
+
+    src = inspect.getsource(inference)
+    assert "reassemble_sqrt_len" in src
+    # no stray local reshape of seq into an image in inference
+    assert ".reshape((b, c) + (side,)" not in src

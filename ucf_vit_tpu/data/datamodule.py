@@ -105,6 +105,7 @@ class DataModule:
         seed: int = 0,
         prefetch: int = 2,
         num_workers: int = 0,
+        return_qdt: bool = False,
     ):
         assert len(dict_root_dirs) <= data_par_size, (
             "need at least one data-parallel rank per dataset"
@@ -141,6 +142,9 @@ class DataModule:
         self.imagenet_resize = imagenet_resize or {"imagenet": (256, 256)}
         self.proc_rank = proc_rank
         self.num_procs = num_procs
+        # batches carry the host-side tree objects for deserialization /
+        # visualization (reference return_qdt collate, `datamodule.py:110-122`)
+        self.return_qdt = return_qdt
         assert 0 <= proc_rank < num_procs
         self.prefetch = prefetch
         # reference semantics: num_workers==1 is the pinned single-worker
@@ -225,6 +229,7 @@ class DataModule:
             num_classes=self.num_classes,
             batch_size=self.batch_size,
             num_workers=self.num_workers,
+            return_qdt=self.return_qdt,
             rng=rng,
         )
         return BatchIterator(processed, self.batch_size, self.dataset)

@@ -24,7 +24,7 @@ import numpy as np
 from ucf_vit_tpu import checkpoint as ckpt
 from ucf_vit_tpu.config import load_config
 from ucf_vit_tpu.parallel.train_step import unbox
-from ucf_vit_tpu.tasks import build_task, _seq_ps
+from ucf_vit_tpu.tasks import build_task, _seq_ps, reassemble_sqrt_len
 from ucf_vit_tpu.train import synthetic_batches, _init_variables, example_batch
 from ucf_vit_tpu.utils.metrics import dice_metric
 
@@ -124,30 +124,22 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
 
     @jax.jit
     def forward(params, batch):
+        # token reassembly is shared with the training step
+        # (tasks.reassemble_sqrt_len) so train and eval see the identical
+        # input layout in 2D and 3D
         x = jnp.asarray(batch["x"])
         seq_ps = _seq_ps(batch)
         if cfg.task == "unetr":
             if cfg.adaptive_patching:
-                seq = jnp.asarray(batch["seq"])
-                b, c = seq.shape[0], seq.shape[1]
-                side = sqrt_len * p
-                if cfg.twoD:
-                    seq = seq.reshape(b, c, sqrt_len, sqrt_len, p, p)
-                    seq = seq.transpose(0, 1, 2, 4, 3, 5).reshape(b, c, side, side)
-                else:
-                    seq = seq.reshape(b, c, *([sqrt_len] * 3), *([p] * 3))
-                    seq = seq.transpose(0, 1, 2, 5, 3, 6, 4, 7).reshape(
-                        b, c, side, side, side
-                    )
+                seq = reassemble_sqrt_len(
+                    jnp.asarray(batch["seq"]), sqrt_len, p, cfg.twoD
+                )
                 return model.apply({"params": params}, x, var_ids, seq_ps, seq)
             return model.apply({"params": params}, x, var_ids, None, None)
         # sap
-        seq = jnp.asarray(batch["seq"])
-        b, c = seq.shape[0], seq.shape[1]
-        side = sqrt_len * p
-        seq_img = seq.reshape(b, c, sqrt_len, sqrt_len, p, p)
-        seq_img = seq_img.transpose(0, 1, 2, 4, 3, 5).reshape(b, c, side, side) \
-            if cfg.twoD else seq.reshape((b, c) + (side,) * 3)
+        seq_img = reassemble_sqrt_len(
+            jnp.asarray(batch["seq"]), sqrt_len, p, cfg.twoD
+        )
         return model.apply({"params": params}, seq_img, var_ids, seq_ps)
 
     if synthetic:
@@ -155,7 +147,12 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
     else:
         from ucf_vit_tpu.train import build_dataloader
 
-        dm, _, _ = build_dataloader(cfg, batch_size, synthetic=False)
+        # carry the host-side trees when we will deserialize predictions
+        # back to image space for the PNG overlays
+        want_qdt = bool(png_dir) and cfg.adaptive_patching
+        dm, _, _ = build_dataloader(
+            cfg, batch_size, synthetic=False, return_qdt=want_qdt
+        )
         it = dm.train_dataloader()
 
     dices = []
@@ -165,17 +162,51 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         logits = forward(params, arrays)  # [1, C, *spatial]
         pred = jnp.argmax(logits, axis=1)  # [1, *spatial]
-        label = jnp.asarray(batch["label"])
-        if label.ndim == pred.ndim + 1:
-            label = label[:, 0]
+        if cfg.task == "sap":
+            # SAP predicts in the sqrt-len pseudo-image space; score against
+            # the serialized labels reassembled the same way (the layout the
+            # SAP training loss uses, `train_sap_simple.py:28-46`)
+            seq_label = jnp.asarray(batch["seq_label"]).astype(jnp.int32)
+            flat = seq_label.reshape(seq_label.shape[0], seq_label.shape[1], -1)
+            label = reassemble_sqrt_len(flat, sqrt_len, p, cfg.twoD)
+        else:
+            label = jnp.asarray(batch["label"])
+            if label.ndim == pred.ndim + 1:
+                label = label[:, 0]
         d = float(dice_metric(pred, label, num_classes))
         dices.append(d)
         print(f"sample {i}: dice {d:.4f}", flush=True)
         if png_dir:
-            _dump_png(png_dir, i, np.asarray(pred[0]), np.asarray(label[0]))
+            png_pred, png_label = np.asarray(pred[0]), np.asarray(label[0])
+            if cfg.task == "sap" and "qdt" in batch:
+                # deserialize the pseudo-image prediction back to TRUE image
+                # space via the sample's tree (reference
+                # `inference_unetr_simple.py:426-457` intent) and overlay
+                # against the original image-space label
+                png_pred = _deserialize_pred(
+                    pred[0], batch["qdt"][0], sqrt_len, p, cfg.twoD
+                )
+                png_label = np.asarray(batch["label"][0])
+                if png_label.ndim == png_pred.ndim + 1:
+                    png_label = png_label[0]
+            _dump_png(png_dir, i, png_pred, png_label)
     mean_dice = float(np.mean(dices)) if dices else float("nan")
     print(f"mean dice over {len(dices)} samples: {mean_dice:.4f}", flush=True)
     return mean_dice
+
+
+def _deserialize_pred(pred, qdt, sqrt_len: int, p: int, twoD: bool) -> np.ndarray:
+    """Pseudo-image class prediction -> true image space via the sample's
+    quadtree/octree (`quadtree.deserialize`, reference quadtree.py:209-221)."""
+    from ucf_vit_tpu.tasks import disassemble_sqrt_len
+
+    tokens = np.asarray(
+        disassemble_sqrt_len(pred.astype(jnp.float32), sqrt_len, p, twoD)
+    )  # [L, p^d]
+    if isinstance(qdt, list):  # single_channel / separate_channels trees
+        qdt = qdt[0]
+    out = qdt.deserialize(tokens, p, 1)  # [..., 1]
+    return np.rint(out[..., 0]).astype(np.int64)
 
 
 def _dump_png(png_dir: str, idx: int, pred: np.ndarray, label: np.ndarray):

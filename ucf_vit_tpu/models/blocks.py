@@ -6,8 +6,8 @@ there is ONE implementation here, and tensor/fsdp parallelism is expressed as
 partitioning metadata on the weights instead of a duplicated code tree. The
 Megatron column/row sharding of the reference fsdp blocks
 (`fsdp/building_blocks.py:98-219`: fc1 column-, fc2 row-sharded; qkv column-,
-proj row-sharded) maps to the logical axes below + the rules in
-`ucf_vit_tpu/parallel/sharding.py`; XLA inserts the forward all-reduce /
+proj row-sharded) maps to the logical axes below + the LOGICAL_RULES table in
+`ucf_vit_tpu/parallel/mesh.py`; XLA inserts the forward all-reduce /
 backward identity collectives that the reference hand-wrote as
 autograd.Functions (`utils/dist_functions.py`).
 

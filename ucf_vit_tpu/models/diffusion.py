@@ -106,6 +106,7 @@ class DiffusionVIT(VIT):
                     attn_drop=self.attn_drop_rate,
                     drop_path=float(dpr[i]),
                     dtype=self.dtype,
+                    gelu_approx=self.gelu_approx,
                     name=f"decoder_blocks_{i}",
                 )
                 for i in range(self.decoder_depth)

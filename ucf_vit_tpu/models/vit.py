@@ -101,6 +101,10 @@ class VIT(nn.Module):
     remat: bool = False  # activation checkpointing on each Block
     scan_layers: bool = False  # lax.scan over blocks (O(1) compile in depth)
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
+    # tanh-approx GELU is the TPU perf default (~40% cheaper on the VPU);
+    # the reference uses exact erf (torch nn.GELU) — set
+    # init_args.gelu_approx: false in the config for bit-level parity.
+    gelu_approx: bool = True
 
     # ---------------------------------------------------------------- config
 
@@ -305,6 +309,7 @@ class VIT(nn.Module):
             proj_drop=self.proj_drop_rate,
             attn_drop=self.attn_drop_rate,
             dtype=self.dtype,
+            gelu_approx=self.gelu_approx,
         )
         if self.scan_layers:
             # lax.scan over one stacked Block: compile time O(1) in depth —

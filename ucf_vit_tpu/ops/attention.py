@@ -165,6 +165,10 @@ def multi_head_attention(
     impl = resolve_impl(impl, n_kv=k.shape[2])
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    # Pallas kernels only compile on TPU; on any other backend (the CPU test
+    # mesh) run them in interpret mode so FLASH stays numerically testable
+    # end-to-end without a chip.
+    interpret = interpret or not _default_backend_is_tpu()
 
     if impl == AttnImpl.FLASH:
         mesh = _active_mesh()

@@ -60,6 +60,37 @@ def logical_state_sharding(state_shapes, mesh: Mesh):
     return nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
 
 
+def _rebox_opt_state(opt_state, boxed_params):
+    """Re-attach Partitioned metadata to optimizer-state subtrees that
+    mirror the param tree (Adam mu/nu).
+
+    tx.init runs on unboxed params, so its state carries no logical-axis
+    metadata and logical_state_sharding would replicate every moment leaf —
+    2x param-size f32 per device, defeating ZeRO-3-style FSDP exactly at the
+    model sizes it exists for (the reference's FULL_SHARD shards optimizer
+    state too, `train_masked_fsdp.py:384-391`). Boxing the mirrors makes
+    the moments inherit their param's sharding."""
+    raw_def = jax.tree.structure(unbox(boxed_params))
+
+    def is_params_like(sub):
+        try:
+            return jax.tree.structure(sub) == raw_def
+        except Exception:
+            return False
+
+    def rebox(sub):
+        if not is_params_like(sub):
+            return sub
+        return jax.tree.map(
+            lambda p, v: p.replace_boxed(v) if isinstance(p, nn.Partitioned) else v,
+            boxed_params,
+            sub,
+            is_leaf=lambda x: isinstance(x, nn.Partitioned),
+        )
+
+    return jax.tree.map(rebox, opt_state, is_leaf=is_params_like)
+
+
 def create_sharded_train_state(
     init_fn: Callable[[], Any],
     tx: optax.GradientTransformation,
@@ -88,6 +119,9 @@ def create_sharded_train_state(
         )
 
     state_shapes = jax.eval_shape(make_state)
+    state_shapes = state_shapes.replace(
+        opt_state=_rebox_opt_state(state_shapes.opt_state, state_shapes.params)
+    )
     state_sharding = logical_state_sharding(state_shapes, mesh)
 
     with mesh:
@@ -130,12 +164,17 @@ def make_train_step(
     def accum_grads(params, batch, rng, scale):
         if accum_steps == 1:
             return grads_and_loss(params, batch, rng, scale)
-        micro = jax.tree.map(
-            lambda x: x.reshape(
+
+        def to_micro(x):
+            assert x.shape[0] % accum_steps == 0, (
+                f"batch dim {x.shape[0]} not divisible by accum_steps "
+                f"{accum_steps} — samples would be silently dropped"
+            )
+            return x.reshape(
                 (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]
-            ),
-            batch,
-        )
+            )
+
+        micro = jax.tree.map(to_micro, batch)
         rngs = jax.random.split(rng, accum_steps)
 
         def body(carry, xs):

@@ -66,10 +66,50 @@ def _common_kwargs(cfg: Config) -> dict:
         use_adaptive_pos_emb=bool(ia.get("use_adaptive_pos_emb", False))
         and cfg.adaptive_patching,
         attn_impl=_attn_impl(cfg),
+        # tanh-approx GELU by default (TPU perf); init_args.gelu_approx: false
+        # restores the reference's exact erf (torch nn.GELU) numerics
+        gelu_approx=bool(ia.get("gelu_approx", True)),
         remat=bool(cfg.trainer.get("remat", cfg.parallelism.get("fsdp_size", 1) > 1)),
         scan_layers=bool(cfg.trainer.get("scan_layers", ia.get("scan_layers", False))),
         dtype=jnp.bfloat16 if cfg.trainer.get("data_type") == "bfloat16" else None,
     )
+
+
+def reassemble_sqrt_len(tokens: jnp.ndarray, sqrt_len: int, p: int, twoD: bool):
+    """[..., L, p^d] -> [..., (sqrt_len*p)^d] block reassembly for the
+    sqrt-len adaptive method: token i is the (i-th in row-major leaf order)
+    pxp(xp) block of the reassembled image. Shared by the UNETR/SAP training
+    steps AND the inference CLI so train and eval agree on the input layout
+    (the reference's own SAP step uses a locality-scrambling plain reshape,
+    `train_sap_simple.py:30-40`; its commented-out einops rearrange — the
+    evident intent — matches the UNETR layout `train_unetr_simple.py:43-47`,
+    which is what this implements)."""
+    lead = tokens.shape[:-2]
+    n = len(lead)
+    side = sqrt_len * p
+    if twoD:
+        t = tokens.reshape(lead + (sqrt_len, sqrt_len, p, p))
+        t = jnp.moveaxis(t, n + 2, n + 1)  # (s1, p1, s2, p2)
+        return t.reshape(lead + (side, side))
+    t = tokens.reshape(lead + (sqrt_len,) * 3 + (p,) * 3)
+    t = t.transpose(tuple(range(n)) + (n, n + 3, n + 1, n + 4, n + 2, n + 5))
+    return t.reshape(lead + (side,) * 3)
+
+
+def disassemble_sqrt_len(img: jnp.ndarray, sqrt_len: int, p: int, twoD: bool):
+    """Inverse of reassemble_sqrt_len: [..., (sqrt_len*p)^d] ->
+    [..., L, p^d] row-major leaf tokens — used to deserialize adaptive
+    predictions back to true image space via the quadtree/octree
+    (reference visualization path, `inference_unetr_simple.py:426-457`)."""
+    lead = img.shape[:-2] if twoD else img.shape[:-3]
+    n = len(lead)
+    if twoD:
+        t = img.reshape(lead + (sqrt_len, p, sqrt_len, p))
+        t = jnp.moveaxis(t, n + 1, n + 2)  # (s1, s2, p1, p2)
+        return t.reshape(lead + (sqrt_len * sqrt_len, p * p))
+    t = img.reshape(lead + (sqrt_len, p, sqrt_len, p, sqrt_len, p))
+    t = t.transpose(tuple(range(n)) + (n, n + 2, n + 4, n + 1, n + 3, n + 5))
+    return t.reshape(lead + (sqrt_len**3, p**3))
 
 
 def _seq_ps(batch) -> Optional[jnp.ndarray]:
@@ -178,17 +218,7 @@ def build_unetr(cfg: Config):
         if cfg.adaptive_patching:
             # reassemble token seq into the sqrt-len image
             # (`train_unetr_simple.py:43-54`)
-            seq = batch["seq"]
-            b, c = seq.shape[0], seq.shape[1]
-            side = sqrt_len * p
-            if cfg.twoD:
-                seq = seq.reshape(b, c, sqrt_len, sqrt_len, p, p)
-                seq = seq.transpose(0, 1, 2, 4, 3, 5).reshape(b, c, side, side)
-            else:
-                seq = seq.reshape(b, c, sqrt_len, sqrt_len, sqrt_len, p, p, p)
-                seq = seq.transpose(0, 1, 2, 5, 3, 6, 4, 7).reshape(
-                    b, c, side, side, side
-                )
+            seq = reassemble_sqrt_len(batch["seq"], sqrt_len, p, cfg.twoD)
             logits = model.apply(
                 {"params": params}, data, var_ids, _seq_ps(batch), seq,
                 deterministic=False, rngs={"dropout": rng},
@@ -223,39 +253,19 @@ def build_sap(cfg: Config):
     sqrt_len = cfg.sqrt_len
     p = cfg.patch_size
 
-    def _reassemble(tokens, b, lead):
-        """[.., L, p^d] -> [.., (sqrt_len*p)^d] block reassembly. The
-        reference SAP step uses a plain reshape (`train_sap_simple.py:30-40`)
-        which scrambles pixel locality; its commented-out einops rearrange is
-        the evident intent (SURVEY.md quirk list) — we implement the intent,
-        matching the UNETR path (`train_unetr_simple.py:43-47`)."""
-        side = sqrt_len * p
-        if cfg.twoD:
-            t = tokens.reshape(lead + (sqrt_len, sqrt_len, p, p))
-            n = len(lead)
-            t = jnp.moveaxis(t, n + 2, n + 1)  # (s1, p1, s2, p2)
-            return t.reshape(lead + (side, side))
-        t = tokens.reshape(lead + (sqrt_len,) * 3 + (p,) * 3)
-        n = len(lead)
-        t = t.transpose(
-            tuple(range(n)) + (n, n + 3, n + 1, n + 4, n + 2, n + 5)
-        )
-        return t.reshape(lead + (side,) * 3)
-
     def loss_fn(params, batch, rng, var_ids=None):
         # SAP always runs the adaptive sqrt-len path (`train_sap_simple.py:28-46`).
         seq = batch["seq"]  # [B, C, L, p^d]
-        b, c = seq.shape[0], seq.shape[1]
-        seq_img = _reassemble(seq, b, (b, c))
+        b = seq.shape[0]
+        seq_img = reassemble_sqrt_len(seq, sqrt_len, p, cfg.twoD)
         logits = model.apply(
             {"params": params}, seq_img, var_ids, _seq_ps(batch),
             deterministic=False, rngs={"dropout": rng},
         )
         # serialized labels [B, L, p, p(, p)] -> image space, then one-hot
         seq_label = batch["seq_label"].astype(jnp.int32)
-        nd = 2 if cfg.twoD else 3
         flat = seq_label.reshape(b, seq_label.shape[1], -1)  # [B, L, p^d]
-        label_img = _reassemble(flat, b, (b,))
+        label_img = reassemble_sqrt_len(flat, sqrt_len, p, cfg.twoD)
         onehot = jax.nn.one_hot(label_img, num_classes, axis=1)
         return dice_b_loss(logits, onehot), {}
 

@@ -82,8 +82,14 @@ def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator
         yield batch
 
 
-def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
-    """Returns (datamodule, synthetic_iter, batches_per_rank_epoch)."""
+def build_dataloader(
+    cfg: Config, global_batch: int, synthetic: bool, return_qdt: bool = False
+):
+    """Returns (datamodule, synthetic_iter, batches_per_rank_epoch).
+
+    return_qdt: batches additionally carry the host-side quadtree/octree
+    objects (for deserializing adaptive predictions back to image space —
+    inference/visualization only, never jitted)."""
     if synthetic:
         return None, synthetic_batches(cfg, global_batch), None
 
@@ -164,6 +170,7 @@ def build_dataloader(cfg: Config, global_batch: int, synthetic: bool):
         proc_rank=jax.process_index(),
         num_procs=jax.process_count(),
         num_workers=int(cfg.data.get("num_workers", 1)),
+        return_qdt=return_qdt,
     )
     dm.setup()
     return dm, None, bpre

@@ -11,10 +11,10 @@ losses the reference pulls from torch/MONAI at script level:
                                smooth_dr=1e-6)
 - DiceMetric                  (MONAI, `train_unetr_simple.py:401` —
                                include_background=False, mean reduction)
-- adaptive_patching_mse       (`metrics.py:19`) — see
-                              `ucf_vit_tpu/data/adaptive_loss.py` for the
-                              host-side variant; here we provide the
-                              token-space equivalent that runs on TPU.
+- adaptive_patching_mse       (`metrics.py:19`) — the reference's version is
+                              image-space and defined-but-unused; here we
+                              provide the token-space equivalent that runs
+                              on TPU.
 
 Everything here takes logits/predictions as produced by the models (channels
 first for dense outputs, [B, L, F] for token outputs) and returns f32 scalars.
