@@ -152,3 +152,32 @@ def test_ring_attention_matches_einsum():
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
     finally:
         A.SP_MODE = old
+
+
+def test_fused_backward_matches_two_kernel():
+    """The single-pass fused backward (dq+dk+dv in one kernel) must produce
+    the same gradients as the two-kernel fallback it replaces. Exercises a
+    multi-block grid (several q and kv blocks) and an unaligned length."""
+    import ucf_vit_tpu.ops.flash_attention as fa
+
+    for n in (384, 300):  # 384 -> 3 q-blocks x 3 kv-blocks at block 128
+        q, k, v = _qkv(n=n, dh=16)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2
+            )
+
+        saved = fa.FUSED_BWD_DQ_SCRATCH_BYTES
+        try:
+            fa.FUSED_BWD_DQ_SCRATCH_BYTES = 6 * 1024 * 1024
+            fa._flash_len_cache.cache_clear()
+            g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            fa.FUSED_BWD_DQ_SCRATCH_BYTES = 0  # force the fallback
+            fa._flash_len_cache.cache_clear()
+            g_two = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa.FUSED_BWD_DQ_SCRATCH_BYTES = saved
+            fa._flash_len_cache.cache_clear()
+        for a, b in zip(g_fused, g_two):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -14,9 +14,16 @@ Design (see the classic flash-attention tiling):
 - Sequence lengths that are not multiples of the block size (ViT: 197/257/729
   tokens) are zero-padded by the wrapper; padded key columns are masked with a
   large negative constant (not -inf, to avoid exp(-inf - -inf) NaNs).
-- Backward is a custom VJP with two kernels: dkv (iterates q blocks per kv
-  block) and dq (iterates kv blocks per q block), sharing the standard
-  residuals (o, lse) plus the precomputed di = rowsum(do * o).
+- Backward is a custom VJP. Default: ONE fused kernel computing dq, dk, dv in
+  a single sweep (5 matmuls total = 2.5x forward FLOPs): grid (bh, kv, q) with
+  the kv dimension sequential; dk/dv accumulate in per-kv-block scratch across
+  the inner q sweep, dq accumulates in a full-sequence f32 VMEM scratch
+  (n_q_pad x dh — ~1 MB at N=4096, dh=64) and is flushed on the final kv
+  sweep. This recomputes p/ds once instead of twice, unlike the classic
+  two-kernel split (7 matmuls = 3.5x forward). When the dq scratch would not
+  fit VMEM (very long sequences), falls back to the two-kernel path: dkv
+  (iterates q blocks per kv block) and dq (iterates kv blocks per q block).
+  Both share the standard residuals (o, lse) plus di = rowsum(do * o).
 """
 
 from __future__ import annotations
@@ -190,6 +197,101 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dq_ref,
+    dk_scr,
+    dv_scr,
+    dq_scr,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_q: int,
+    block_k: int,
+    num_q_blocks: int,
+    num_kv_blocks: int,
+):
+    """Single-pass backward: dq + dk + dv from one p/ds recompute.
+
+    Grid (bh, kv_blocks, q_blocks); kv and q are both sequential. dk/dv
+    accumulate in [block_k, dh] scratch over the inner q sweep (stored when
+    q_idx hits the last block). dq accumulates per-q-row in a full-sequence
+    [n_q_pad, dh] f32 scratch across kv sweeps; each visit writes the running
+    partial to dq_ref (the write-back happens anyway when the output block
+    rotates), so the final kv sweep's write-back leaves the completed dq.
+    """
+    kv_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [block_q, dh]
+    k = k_ref[0]  # [block_k, dh]
+    v = v_ref[0]
+    do = do_ref[0]  # [block_q, dh]
+    lse = lse_ref[0][:, :1]  # [block_q, 1]
+    di = di_ref[0][:, :1]  # [block_q, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    if kv_len % block_k != 0:
+        col_ids = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)  # [block_q, block_k]
+
+    # dv += p^T @ do
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di) * sm_scale  # [block_q, block_k]
+
+    # dk += ds^T @ q
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dq rows for this q block accumulate across the kv (outer) sweeps.
+    dq_contrib = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, dh]
+    row0 = pl.multiple_of(q_idx * block_q, block_q)
+
+    @pl.when(kv_idx == 0)
+    def _dq_first():
+        dq_scr[pl.ds(row0, block_q), :] = dq_contrib
+
+    @pl.when(kv_idx > 0)
+    def _dq_accum():
+        dq_scr[pl.ds(row0, block_q), :] += dq_contrib
+
+    dq_ref[0] = dq_scr[pl.ds(row0, block_q), :].astype(dq_ref.dtype)
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store_kv():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel(
     q_ref,
     k_ref,
@@ -352,6 +454,11 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False)
     return out, lse
 
 
+# Full-sequence f32 dq scratch cap for the fused backward; beyond this the
+# two-kernel fallback is used (n_q_pad * dh * 4 bytes; 6 MB = 24k tokens @ dh=64).
+FUSED_BWD_DQ_SCRATCH_BYTES = 6 * 1024 * 1024
+
+
 def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
@@ -360,6 +467,49 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (bh, n_q, NUM_LANES))
+
+    if n_q * dh * 4 <= FUSED_BWD_DQ_SCRATCH_BYTES:
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel,
+            sm_scale=sm_scale,
+            kv_len=kv_len,
+            block_q=block_q,
+            block_k=block_k,
+            num_q_blocks=num_q_blocks,
+            num_kv_blocks=num_kv_blocks,
+        )
+        dk, dv, dq = pl.pallas_call(
+            fused_kernel,
+            grid=(bh, num_kv_blocks, num_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_kv_pad, dh), k.dtype),
+                jax.ShapeDtypeStruct((bh, n_kv_pad, dh), v.dtype),
+                jax.ShapeDtypeStruct((bh, n_q, dh), q.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, dh), jnp.float32),
+                pltpu.VMEM((block_k, dh), jnp.float32),
+                pltpu.VMEM((n_q, dh), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q, k, v, do, lse, di)
+        return dq, dk, dv
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
