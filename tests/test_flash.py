@@ -68,28 +68,6 @@ def test_sharded_flash_matches_einsum():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_short_attention_matches_einsum():
-    from ucf_vit_tpu.ops.short_attention import short_attention
-
-    q, k, v = _qkv(n=197, dh=32)
-    ref = einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5)
-    out = short_attention(q, k, v, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-    g_ref = jax.grad(
-        lambda q, k, v: jnp.sum(
-            einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5) ** 2
-        ),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    g_out = jax.grad(
-        lambda q, k, v: jnp.sum(short_attention(q, k, v, interpret=True) ** 2),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    for a, b in zip(g_out, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
-
-
 def test_ulysses_sp_flash_matches_einsum():
     """sp>1 with head count divisible -> Ulysses a2a path."""
     from ucf_vit_tpu.parallel import make_mesh

@@ -105,3 +105,32 @@ def test_mae_loss_pipeline():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(grads))
+
+
+def test_mae_seq_pack_matches_unpacked():
+    """seq_pack folds several samples' kept tokens into one encoder sequence
+    with block-diagonal attention — the output must match the unpacked model
+    exactly (same params, same mask noise)."""
+    m1 = _tiny_mae()
+    m4 = _tiny_mae(seq_pack=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3, 32, 32)), jnp.float32)
+    rngs = {"params": jax.random.key(0), "mask": jax.random.key(1)}
+    params = m1.init(rngs, x)
+    noise = jax.random.uniform(jax.random.key(7), (4, 16))
+    p1, k1 = m1.apply(params, x, mask_noise=noise)
+    p4, k4 = m4.apply(params, x, mask_noise=noise)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k4))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p4), atol=1e-5)
+
+
+def test_mae_seq_pack_xla_impl_matches():
+    """The XLA dot_product_attention path honors the segment mask too."""
+    m1 = _tiny_mae()
+    m4 = _tiny_mae(seq_pack=2, attn_impl=AttnImpl.XLA)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 32, 32)), jnp.float32)
+    rngs = {"params": jax.random.key(0), "mask": jax.random.key(1)}
+    params = m1.init(rngs, x)
+    noise = jax.random.uniform(jax.random.key(3), (2, 16))
+    p1, _ = m1.apply(params, x, mask_noise=noise)
+    p2, _ = m4.apply(params, x, mask_noise=noise)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)

@@ -183,6 +183,9 @@ class Attention(nn.Module):
     qk_norm: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # block-diagonal segment masking for sequence-packed batches (MAE
+    # seq_pack): tokens attend only within their seg_len-sized segment
+    seg_len: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -215,7 +218,8 @@ class Attention(nn.Module):
         v = nn.with_logical_constraint(v, ("batch", "heads", "seq", None))
 
         out = multi_head_attention(
-            q, k, v, impl=self.attn_impl, sm_scale=head_dim**-0.5
+            q, k, v, impl=self.attn_impl, sm_scale=head_dim**-0.5,
+            seg_len=self.seg_len,
         )
         # attn_drop would apply to the probability matrix; the fused paths do
         # not materialize it. All shipped reference configs run attn_drop=0.
@@ -242,6 +246,7 @@ class Block(nn.Module):
     init_values: Optional[float] = None
     drop_path: float = 0.0
     gelu_approx: bool = True
+    seg_len: Optional[int] = None  # sequence-packing segment mask (see Attention)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -255,6 +260,7 @@ class Block(nn.Module):
             qk_norm=self.qk_norm,
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
+            seg_len=self.seg_len,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic)

@@ -39,10 +39,20 @@ class MAE(VIT):
     decoder_embed_dim: int = 512
     decoder_num_heads: int = 16
     mlp_ratio_decoder: float = 4.0
+    # Sequence packing: fold seq_pack samples' kept tokens into one encoder
+    # sequence with block-diagonal attention (seg_len = len_keep). Numerics
+    # are identical to unpacked attention (cross-sample scores are masked);
+    # throughput rises because a 75%-masked encoder runs tiny sequences
+    # (e.g. 64 of 256 tokens) that under-fill the chip. Pure capability-plus:
+    # the reference runs the short sequences as-is.
+    seq_pack: int = 1
 
     @property
     def len_keep(self) -> int:
         return int(self.num_patches * (1 - self.mask_ratio))
+
+    def _block_seg_len(self):
+        return self.len_keep if self.seq_pack > 1 else None
 
     def _decoder_sincos_init(self):
         if self.adaptive_patching and not self.sqrt_len_method:
@@ -188,7 +198,15 @@ class MAE(VIT):
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
         x, mask, ids_restore = self.random_masking(x, mask_noise)
+        if self.seq_pack > 1:
+            b, n, d = x.shape
+            assert b % self.seq_pack == 0, (
+                f"batch {b} not divisible by seq_pack {self.seq_pack}"
+            )
+            x = x.reshape(b // self.seq_pack, self.seq_pack * n, d)
         x = self.run_blocks(x, deterministic)
+        if self.seq_pack > 1:
+            x = x.reshape(b, n, d)
         return self.norm(x), mask, ids_restore
 
     def __call__(

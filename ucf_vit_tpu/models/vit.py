@@ -310,6 +310,7 @@ class VIT(nn.Module):
             attn_drop=self.attn_drop_rate,
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
+            seg_len=self._block_seg_len(),
         )
         if self.scan_layers:
             # lax.scan over one stacked Block: compile time O(1) in depth —
@@ -444,6 +445,12 @@ class VIT(nn.Module):
         return self.pos_drop(x, deterministic=deterministic)
 
     # --------------------------------------------------------------- encoder
+
+    def _block_seg_len(self):
+        """Segment length for block-diagonal attention in the encoder stack.
+        None = ordinary full attention; MAE overrides this when sequence
+        packing (seq_pack > 1) folds several samples into one sequence."""
+        return None
 
     def run_blocks(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if self.scan_layers:

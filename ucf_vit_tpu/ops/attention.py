@@ -28,7 +28,6 @@ from ucf_vit_tpu.ops.flash_attention import flash_attention
 
 class AttnImpl(str, enum.Enum):
     FLASH = "FLASH"  # Pallas flash-attention kernel (TPU, long sequences)
-    SHORT = "SHORT"  # Pallas fused short-seq kernel (no stored probs: lower memory)
     XLA = "XLA"  # jax.nn.dot_product_attention (XLA-fused)
     EINSUM = "EINSUM"  # plain jnp reference path (numerics oracle)
     AUTO = "AUTO"  # shape-aware: EINSUM short / FLASH long on TPU, XLA elsewhere
@@ -37,7 +36,10 @@ class AttnImpl(str, enum.Enum):
     def from_string(cls, s: str) -> "AttnImpl":
         s = s.upper()
         # Accept the reference's FusedAttn spellings for config compat.
-        aliases = {"CK": "FLASH", "DEFAULT": "XLA", "NONE": "EINSUM"}
+        # "SHORT" was a Pallas short-sequence kernel: built, measured slower
+        # in-stack than the einsum fusion (see SHORT_SEQ_THRESHOLD note),
+        # deleted; the alias keeps old configs working.
+        aliases = {"CK": "FLASH", "DEFAULT": "XLA", "NONE": "EINSUM", "SHORT": "EINSUM"}
         return cls(aliases.get(s, s))
 
 
@@ -49,11 +51,15 @@ def _default_backend_is_tpu() -> bool:
         return False
 
 
-# Below this many KV tokens the fully-materialized einsum fusion beats a
-# tiled flash kernel on TPU: at ViT lengths (196-730 tokens) the scores
-# matrix is small, XLA fuses softmax into the matmuls, and flash tiling
-# overhead dominates (measured on v5e: einsum 655 img/s vs flash 272 img/s
-# on ViT-B/16). Flash wins on long sequences where scores don't fit VMEM.
+# Below this many KV tokens the fully-materialized einsum fusion beats every
+# Pallas kernel we tried on TPU, because XLA fuses the softmax into the
+# surrounding matmuls and overlaps across ops, which an opaque pallas_call
+# cannot join. Measured on v5e at the MAE-decoder shape [24,16,256,32]
+# fwd+bwd: einsum 934 us/layer isolated but ~612 us in-stack; a VMEM-resident
+# fused kernel with saved probs hit 665 us isolated yet LOST in-stack (MAE
+# step 1031 vs 1155 img/s) — so an AttnImpl.SHORT kernel was built, measured,
+# and deleted. Flash wins above this threshold, where the score matrix
+# spills VMEM and XLA materializes it in HBM (1.05 GB/layer measured).
 SHORT_SEQ_THRESHOLD = 1024
 
 # Sequence-parallel attention strategy under sp > 1:
@@ -62,7 +68,9 @@ SHORT_SEQ_THRESHOLD = 1024
 SP_MODE = "auto"
 
 
-def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
+def resolve_impl(
+    impl: AttnImpl | str, n_kv: int | None = None, n_q: int | None = None
+) -> AttnImpl:
     if isinstance(impl, str):
         impl = AttnImpl.from_string(impl)
     if impl == AttnImpl.AUTO:
@@ -74,9 +82,23 @@ def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
     return impl
 
 
-def einsum_attention(q, k, v, *, sm_scale: float) -> jnp.ndarray:
-    """Reference attention: full score matrix, f32 softmax. [B,H,N,dh]."""
+def einsum_attention(
+    q, k, v, *, sm_scale: float, seg_len: int | None = None
+) -> jnp.ndarray:
+    """Reference attention: full score matrix, f32 softmax. [B,H,N,dh].
+
+    seg_len: block-diagonal masking for sequence-packed batches (tokens only
+    attend within their own seg_len-sized segment). Used by MAE sequence
+    packing (several samples' kept tokens folded into one sequence) — the
+    mask makes the packed result bit-equivalent to per-sample attention.
+    """
     s = jnp.einsum("bhqd,bhkd->bhqk", q * sm_scale, k).astype(jnp.float32)
+    if seg_len is not None:
+        n_q, n_kv = s.shape[-2], s.shape[-1]
+        seg_q = jnp.arange(n_q, dtype=jnp.int32) // seg_len
+        seg_k = jnp.arange(n_kv, dtype=jnp.int32) // seg_len
+        same = seg_q[:, None] == seg_k[None, :]
+        s = jnp.where(same, s, -0.7 * jnp.finfo(jnp.float32).max)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
@@ -160,9 +182,15 @@ def multi_head_attention(
     impl: AttnImpl | str = AttnImpl.AUTO,
     sm_scale: float | None = None,
     interpret: bool = False,
+    seg_len: int | None = None,
 ) -> jnp.ndarray:
-    """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs."""
-    impl = resolve_impl(impl, n_kv=k.shape[2])
+    """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs.
+
+    seg_len: block-diagonal segment masking for sequence-packed batches
+    (see einsum_attention). Supported on the EINSUM and XLA paths; packed
+    sequences are short by construction, so AUTO lands on EINSUM.
+    """
+    impl = resolve_impl(impl, n_kv=k.shape[2], n_q=q.shape[2])
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     # Pallas kernels only compile on TPU; on any other backend (the CPU test
@@ -170,22 +198,28 @@ def multi_head_attention(
     # end-to-end without a chip.
     interpret = interpret or not _default_backend_is_tpu()
 
+    if seg_len is not None and impl == AttnImpl.FLASH:
+        # no segment support in the flash kernel; packed sequences are short
+        impl = AttnImpl.EINSUM
+
     if impl == AttnImpl.FLASH:
         mesh = _active_mesh()
         if mesh is not None and len(mesh.devices.flat) > 1:
             return _sharded_flash(q, k, v, sm_scale, mesh, interpret)
         return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
-    if impl == AttnImpl.SHORT:
-        from ucf_vit_tpu.ops.short_attention import short_attention
-
-        return short_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
     if impl == AttnImpl.XLA:
+        mask = None
+        if seg_len is not None:
+            seg_q = jnp.arange(q.shape[2], dtype=jnp.int32) // seg_len
+            seg_k = jnp.arange(k.shape[2], dtype=jnp.int32) // seg_len
+            mask = (seg_q[:, None] == seg_k[None, :])[None, None]
         # jax.nn.dot_product_attention wants [B, N, H, dh].
         out = jax.nn.dot_product_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             scale=sm_scale,
+            mask=mask,
         )
         return out.transpose(0, 2, 1, 3)
-    return einsum_attention(q, k, v, sm_scale=sm_scale)
+    return einsum_attention(q, k, v, sm_scale=sm_scale, seg_len=seg_len)

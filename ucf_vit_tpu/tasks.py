@@ -162,6 +162,7 @@ def build_mae(cfg: Config):
         decoder_embed_dim=int(ia.get("decoder_embed_dim", 512)),
         decoder_num_heads=int(ia.get("decoder_num_heads", 16)),
         mlp_ratio_decoder=float(ia.get("mlp_ratio_decoder", 4)),
+        seq_pack=int(ia.get("seq_pack", 1)),
         **_common_kwargs(cfg),
     )
     loss_name = cfg.model.get("loss_fn", "MSE")
