@@ -49,7 +49,7 @@ def mae_train_flops_per_image() -> float:
 
 
 def main():
-    seq_pack = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    seq_pack = int(sys.argv[1]) if len(sys.argv) > 1 else 4  # measured v5e sweet spot
     from ucf_vit_tpu.models import MAE
     from ucf_vit_tpu.ops.attention import AttnImpl
     from ucf_vit_tpu.utils.metrics import masked_mse
