@@ -36,7 +36,7 @@ def test_even_odd_roundtrip(tmp_path):
                                   np.full((4, 4), 5.0))
     got6 = ckpt.restore_checkpoint(path, "last_even")
     assert int(got6["epoch"]) == 6
-    assert list(np.asarray(got6["loss_list"])) == [0.2]
+    assert ckpt.decode_loss_list(got6["loss_list"]) == [0.2]
 
 
 def test_transfer_mae_encoder():

@@ -101,3 +101,22 @@ def test_batched_inference_matches_bs1(tmp_path):
     d1 = evaluate(cfg, synthetic=True, num_samples=4, batch_size=1)
     d2 = evaluate(cfg, synthetic=True, num_samples=2, batch_size=2)
     assert np.isfinite(d1) and np.isfinite(d2)
+
+
+def test_diffusion_sampling(tmp_path):
+    """Ancestral DDPM sampling through the inference CLI path
+    (capability-plus: the reference ships no sampler)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.inference import generate_diffusion
+
+    cfg = _cfg(
+        "diffusion",
+        extra_init={"decoder_embed_dim": 8, "decoder_depth": 1,
+                    "decoder_num_heads": 2, "mlp_ratio_decoder": 4,
+                    "num_time_steps": 5},
+    )
+    png_dir = str(tmp_path / "png")
+    sps = generate_diffusion(cfg, num_samples=2, png_dir=png_dir)
+    assert np.isfinite(sps) and sps > 0
+    assert os.path.exists(os.path.join(png_dir, "generated_0.png"))
+    assert os.path.exists(os.path.join(png_dir, "generated_1.png"))

@@ -103,3 +103,52 @@ def test_train_resume_continuity(tmp_path):
     # expected — same as the reference, which checkpoints neither)
     assert out2["loss_list"][-1] < out1["loss_list"][0]
     assert full["loss_list"][-1] < full["loss_list"][0]
+
+
+def test_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-training -> checkpoint written as epoch-1, clean exit,
+    and resume re-runs the interrupted epoch (SLURM/TPU maintenance-event
+    behavior; the reference has no preemption handling)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    ckdir = str(tmp_path / "ck")
+    script = f"""
+import yaml, sys
+sys.path.insert(0, {repr(os.getcwd())})
+from tests.test_trainer import _cfg
+from ucf_vit_tpu.train import train
+cfg = _cfg("classification", extra_data={{"num_classes": 3}})
+cfg.raw["trainer"]["checkpoint_path"] = {repr(ckdir)}
+cfg.raw["trainer"]["max_epochs"] = 500
+print("TRAIN_STARTING", flush=True)
+train(cfg, synthetic=True)
+print("TRAIN_EXITED_CLEANLY", flush=True)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    # wait until the training loop is actually running (first epoch prints
+    # come after compile), then preempt
+    deadline = _time.time() + 300
+    lines = []
+    while _time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if "epoch 0 it" in line:
+            break
+        if not line and proc.poll() is not None:
+            break
+    _time.sleep(2)  # let a few more steps run
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=240)
+    full = "".join(lines) + out
+    assert proc.returncode == 0, full[-2000:]
+    assert "TRAIN_EXITED_CLEANLY" in full, full[-2000:]
+    assert "preempted in epoch 0" in full, full[-2000:]
+    assert os.path.isdir(ckdir) and os.listdir(ckdir), "no checkpoint written"

@@ -42,10 +42,13 @@ def save_checkpoint(
     """Write the even/odd checkpoint for this epoch. Returns the dir."""
     path = _ckpt_dir(checkpoint_path, filename, epoch)
     ckptr = ocp.StandardCheckpointer()
+    lst = [float(v) for v in (loss_list if loss_list is not None else [])]
     payload = {
         "epoch": np.asarray(epoch),
         "state": state,
-        "loss_list": np.asarray(loss_list if loss_list is not None else []),
+        # length-prefixed: Orbax rejects zero-size arrays, and a preemption
+        # save during the first epoch has an empty loss history
+        "loss_list": np.asarray([float(len(lst))] + lst),
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -66,6 +69,14 @@ def restore_checkpoint(
     if abstract_payload is None:
         return ckptr.restore(path)
     return ckptr.restore(path, abstract_payload)
+
+
+def decode_loss_list(arr) -> list:
+    """Inverse of the length-prefixed loss_list encoding in save_checkpoint."""
+    arr = np.asarray(arr)
+    if arr.size == 0:
+        return []
+    return [float(v) for v in arr[1:]]
 
 
 # ---------------------------------------------------------------------------

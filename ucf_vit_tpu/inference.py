@@ -87,6 +87,8 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
              png_dir: Optional[str] = None, batch_size: int = 1) -> float:
     if cfg.task == "classification":
         return evaluate_classification(cfg, checkpoint_dir, synthetic, num_samples)
+    if cfg.task == "diffusion":
+        return generate_diffusion(cfg, checkpoint_dir, num_samples, png_dir)
     assert cfg.task in ("unetr", "sap"), "inference CLI covers segmentation tasks"
     model, _ = build_task(cfg)
 
@@ -196,6 +198,81 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
     mean_dice = float(np.mean(dices)) if dices else float("nan")
     print(f"mean dice over {len(dices)} samples: {mean_dice:.4f}", flush=True)
     return mean_dice
+
+
+def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
+                       num_samples: int = 8,
+                       png_dir: Optional[str] = None) -> float:
+    """Generate images from a trained DiffusionVIT via ancestral DDPM
+    sampling (capability-plus: the reference trains the denoiser but ships
+    no sampler, `ddpm/ddpm.py`). Returns samples/s. The full reverse chain
+    runs under one jitted lax.fori_loop."""
+    import time
+
+    from ucf_vit_tpu.models.ddpm import ddpm_sample, ddpm_schedule
+    from ucf_vit_tpu.ops.patchify import unpatchify
+
+    model, _ = build_task(cfg)
+    batch = max(int(num_samples), 1)
+    ex = example_batch(cfg, batch)
+    var_ids = (
+        model.get_var_ids(ex["variables"])
+        if cfg.init_args.get("use_varemb", False)
+        else None
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "mask": jax.random.key(2)}
+    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    if checkpoint_dir:
+        payload = ckpt.restore_checkpoint(
+            checkpoint_dir, cfg.trainer.get("checkpoint_filename_for_loading", "")
+        )
+        params = payload["state"]["params"]
+        print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
+
+    shape = tuple(np.asarray(ex["x"]).shape)
+    time_steps = int(cfg.init_args.get("num_time_steps",
+                                       cfg.init_args.get("time_steps", 1000)))
+    schedule = ddpm_schedule(time_steps)
+
+    def denoise(x_t, t):
+        pred = model.apply({"params": params}, x_t, t, var_ids, None)
+        return unpatchify(pred, shape, cfg.patch_size, cfg.twoD)
+
+    sample = jax.jit(
+        lambda key: ddpm_sample(schedule, denoise, key, shape)
+    )
+    t0 = time.perf_counter()
+    imgs = np.asarray(sample(jax.random.key(0)))
+    dt = time.perf_counter() - t0
+    sps = batch / dt
+    print(
+        f"generated {batch} samples in {dt:.1f}s ({sps:.2f} samples/s, "
+        f"{time_steps} DDPM steps)", flush=True,
+    )
+    if png_dir:
+        for i in range(batch):
+            img = imgs[i, 0] if imgs.ndim == 4 else imgs[i]
+            if img.ndim == 3:  # 3D volume: middle slice
+                img = img[..., img.shape[-1] // 2]
+            _dump_generated_png(png_dir, i, img)
+    return sps
+
+
+def _dump_generated_png(png_dir: str, idx: int, img: np.ndarray):
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(png_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.imshow(img, cmap="gray", interpolation="nearest")
+    ax.axis("off")
+    fig.savefig(os.path.join(png_dir, f"generated_{idx}.png"), dpi=80)
+    plt.close(fig)
 
 
 def _deserialize_pred(pred, qdt, sqrt_len: int, p: int, twoD: bool) -> np.ndarray:

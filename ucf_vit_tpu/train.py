@@ -254,6 +254,30 @@ def train(
         eta_min=float(mcfg.get("eta_min", 1e-8)),
     )
 
+    # Preemption-safe shutdown (capability-plus: the reference's only
+    # resilience is the even/odd checkpoint rotation + a huge NCCL timeout,
+    # SURVEY.md §5). SLURM and TPU maintenance events deliver SIGTERM before
+    # eviction: finish the in-flight step, checkpoint as epoch-1 (so resume
+    # re-runs the interrupted epoch — the data iterator holds no resumable
+    # state), exit cleanly. Installed before the first compile so a signal
+    # during the (minutes-long) initial compilation is also caught.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print(
+            "SIGTERM: will checkpoint at the next step boundary and exit",
+            flush=True,
+        )
+
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread (in-process tests): feature disabled
+
     with mesh_context(mesh):
         state, state_sharding = create_sharded_train_state(
             init_fn, tx, mesh,
@@ -297,7 +321,7 @@ def train(
             )
             state = payload["state"]
             epoch_start = int(payload["epoch"]) + 1
-            loss_list = list(np.asarray(payload["loss_list"]))
+            loss_list = ckpt.decode_loss_list(payload["loss_list"])
             print(f"resumed from epoch {epoch_start - 1}", flush=True)
 
         # one jitted step per variables-set: single_channel / multi-dataset
@@ -352,6 +376,8 @@ def train(
             it = synth if synth is not None else dm.train_dataloader()
             epoch_loss, count, t_epoch = 0.0, 0, time.perf_counter()
             for batch in it:
+                if preempted["flag"]:
+                    break
                 if count >= iterations_per_epoch:
                     break
                 if max_steps is not None and total_steps >= max_steps:
@@ -393,6 +419,21 @@ def train(
                             rec.update({k: float(v) for k, v in aux.items()})
                         metrics_file.write(json.dumps(rec) + "\n")
                         metrics_file.flush()
+            if preempted["flag"]:
+                if trainer.get("checkpoint_path"):
+                    path = ckpt.save_checkpoint(
+                        trainer["checkpoint_path"],
+                        trainer.get("checkpoint_filename", "last"),
+                        epoch - 1,  # re-run the interrupted epoch on resume
+                        state,
+                        loss_list,
+                    )
+                    if jax.process_index() == 0:
+                        print(
+                            f"preempted in epoch {epoch} after {count} its: "
+                            f"saved {path}", flush=True,
+                        )
+                break
             loss_list.append(epoch_loss / max(count, 1))
             if jax.process_index() == 0:
                 print(
@@ -412,6 +453,9 @@ def train(
                 dm.reset()
             if max_steps is not None and total_steps >= max_steps:
                 break
+
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
     return {"state": state, "loss_list": loss_list}
 
