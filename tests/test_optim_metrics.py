@@ -101,3 +101,22 @@ def test_dice_losses_sane():
     pred = labels[:, 0]
     d = float(dice_metric(pred, labels[:, 0], num_classes=3))
     np.testing.assert_allclose(d, 1.0, atol=1e-5)
+
+
+def test_metrics_summary_tool(tmp_path):
+    import json
+
+    from ucf_vit_tpu.tools.metrics_summary import summarize
+
+    p = tmp_path / "m.jsonl"
+    with open(p, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"epoch": i // 10, "it": i % 10, "step": i,
+                                "loss": 1.0 / (i + 1), "ms_per_it": 10.0 + i,
+                                "samples_per_s": 100.0}) + "\n")
+    out = summarize(str(p))
+    assert out["records"] == 20
+    assert out["epochs"] == [0, 1]
+    assert out["ms_per_it"]["p50"] >= 10.0
+    assert out["loss_last10pct"] < out["loss_first10pct"]
+    assert summarize(str(p), last=5)["records"] == 5
