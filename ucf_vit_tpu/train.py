@@ -372,9 +372,51 @@ def train(
         total_steps = 0
         rng = jax.random.key(int(trainer.get("seed", 0)))
 
+        # One-step-lagged loss materialization: `float(loss)` blocks until
+        # the step finishes on device, so resolving step n's loss AFTER
+        # submitting step n+1 lets host-side work (batch shard/H2D transfer,
+        # dispatch through the runtime) overlap device compute instead of
+        # serializing with it. The reference's torch loop has the same
+        # hard sync via `loss.item()` every iteration.
+        epoch_state = {"loss": 0.0, "t_last": 0.0}
+
+        def _resolve(pending):
+            p_epoch, p_it, p_step, loss, aux = pending
+            loss_f = float(loss)  # blocks until that step completed
+            now = time.perf_counter()
+            dt = now - epoch_state["t_last"]
+            epoch_state["t_last"] = now
+            epoch_state["loss"] += loss_f
+            if jax.process_index() == 0 and p_it % log_every == 0:
+                sps = global_batch / dt
+                msg = (
+                    f"epoch {p_epoch} it {p_it} loss {loss_f:.5f} "
+                    f"{dt*1e3:.1f} ms/it {sps:.1f} samples/s"
+                )
+                if aux:
+                    msg += "".join(
+                        f" {k} {float(v):.4f}" for k, v in aux.items()
+                    )
+                print(msg, flush=True)
+                if metrics_file is not None:
+                    import json
+
+                    rec = {
+                        "epoch": p_epoch, "it": p_it, "step": p_step,
+                        "loss": loss_f, "ms_per_it": dt * 1e3,
+                        "samples_per_s": sps,
+                    }
+                    if aux:
+                        rec.update({k: float(v) for k, v in aux.items()})
+                    metrics_file.write(json.dumps(rec) + "\n")
+                    metrics_file.flush()
+
         for epoch in range(epoch_start, max_epochs):
             it = synth if synth is not None else dm.train_dataloader()
-            epoch_loss, count, t_epoch = 0.0, 0, time.perf_counter()
+            count, t_epoch = 0, time.perf_counter()
+            epoch_state["loss"] = 0.0
+            epoch_state["t_last"] = t_epoch
+            pending = None
             for batch in it:
                 if preempted["flag"]:
                     break
@@ -390,35 +432,17 @@ def train(
                 rng, step_rng = jax.random.split(rng)
                 if profile_dir and total_steps == 10:
                     jax.profiler.start_trace(profile_dir)
-                t0 = time.perf_counter()
                 state, loss, aux = step(state, sbatch, step_rng)
-                loss_f = float(loss)  # blocks; keeps per-step timing honest
-                dt = time.perf_counter() - t0
-                if profile_dir and total_steps == 15:
-                    jax.profiler.stop_trace()
-                epoch_loss += loss_f
                 count += 1
                 total_steps += 1
-                if jax.process_index() == 0 and count % log_every == 0:
-                    sps = global_batch / dt
-                    msg = f"epoch {epoch} it {count} loss {loss_f:.5f} {dt*1e3:.1f} ms/it {sps:.1f} samples/s"
-                    if aux:
-                        msg += "".join(
-                            f" {k} {float(v):.4f}" for k, v in aux.items()
-                        )
-                    print(msg, flush=True)
-                    if metrics_file is not None:
-                        import json
-
-                        rec = {
-                            "epoch": epoch, "it": count, "step": total_steps,
-                            "loss": loss_f, "ms_per_it": dt * 1e3,
-                            "samples_per_s": sps,
-                        }
-                        if aux:
-                            rec.update({k: float(v) for k, v in aux.items()})
-                        metrics_file.write(json.dumps(rec) + "\n")
-                        metrics_file.flush()
+                if pending is not None:
+                    _resolve(pending)  # overlaps with the step just submitted
+                pending = (epoch, count, total_steps, loss, aux)
+                if profile_dir and total_steps == 15:
+                    jax.profiler.stop_trace()
+            if pending is not None:
+                _resolve(pending)
+            epoch_loss = epoch_state["loss"]
             if preempted["flag"]:
                 if trainer.get("checkpoint_path"):
                     path = ckpt.save_checkpoint(
