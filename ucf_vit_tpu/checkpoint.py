@@ -32,16 +32,41 @@ def _ckpt_dir(checkpoint_path: str, filename: str, epoch: int) -> str:
     return os.path.abspath(os.path.join(checkpoint_path, f"{filename}_{parity}"))
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_until_finished():
+    """Block until any in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     checkpoint_path: str,
     filename: str,
     epoch: int,
     state,
     loss_list=None,
+    block: bool = True,
 ) -> str:
-    """Write the even/odd checkpoint for this epoch. Returns the dir."""
+    """Write the even/odd checkpoint for this epoch. Returns the dir.
+
+    block=False starts an async save (device arrays are snapshotted first, so
+    training can donate/overwrite them immediately) and returns; the write
+    overlaps the next epoch. Orbax serializes consecutive saves internally,
+    and the even/odd rotation means the previous same-parity file is only
+    replaced once the new save commits — the reference's crash-robustness
+    contract (`README.md:985`) is preserved.
+    """
     path = _ckpt_dir(checkpoint_path, filename, epoch)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _async_ckptr()
     lst = [float(v) for v in (loss_list if loss_list is not None else [])]
     payload = {
         "epoch": np.asarray(epoch),
@@ -50,8 +75,9 @@ def save_checkpoint(
         # save during the first epoch has an empty loss history
         "loss_list": np.asarray([float(len(lst))] + lst),
     }
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -65,6 +91,7 @@ def restore_checkpoint(
     abstract_payload (same pytree of jax.ShapeDtypeStruct with shardings)
     restores directly onto the mesh."""
     path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+    wait_until_finished()  # an async save to this slot may still be in flight
     ckptr = ocp.StandardCheckpointer()
     if abstract_payload is None:
         return ckptr.restore(path)

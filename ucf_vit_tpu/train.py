@@ -466,18 +466,21 @@ def train(
                     flush=True,
                 )
             if trainer.get("checkpoint_path"):
+                # async: the write overlaps the next epoch's compute
                 ckpt.save_checkpoint(
                     trainer["checkpoint_path"],
                     trainer.get("checkpoint_filename", "last"),
                     epoch,
                     state,
                     loss_list,
+                    block=False,
                 )
             if dm is not None:
                 dm.reset()
             if max_steps is not None and total_steps >= max_steps:
                 break
 
+        ckpt.wait_until_finished()
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
 
