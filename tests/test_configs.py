@@ -14,8 +14,9 @@ CONFIGS = sorted(
 )
 
 
-def test_found_all_eight_configs():
-    assert len(CONFIGS) == 8
+def test_found_all_configs():
+    # the reference's 8 workloads + the ViT-L scale-out variant
+    assert len(CONFIGS) == 9
 
 
 @pytest.mark.parametrize("path", CONFIGS)
