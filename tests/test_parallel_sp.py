@@ -117,3 +117,17 @@ def test_vit_sp2_matches_single_device(mesh_shape):
         return cross_entropy(logits, b["y"])
 
     _run_pair(model, batch, loss_fn, mesh_shape)
+
+
+def test_mae_seq_pack_on_sp_mesh_matches_single_device():
+    """Composition: sequence packing (block-diagonal segment mask) under an
+    sp=2 x tp=2 x fsdp=2 mesh must still match the single-device loss —
+    the segment mask is a plain einsum mask, so GSPMD shards it with the
+    packed sequence."""
+    model = MAE(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=16, depth=2,
+        num_heads=2, class_token=False, default_vars=("r", "g", "b"),
+        mask_ratio=0.75, decoder_embed_dim=8, decoder_depth=1,
+        decoder_num_heads=2, attn_impl=AttnImpl.EINSUM, seq_pack=4,
+    )
+    _run_pair(model, _mae_batch(), _mae_loss(model), (1, 2, 2, 2))
