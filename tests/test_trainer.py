@@ -152,3 +152,15 @@ print("TRAIN_EXITED_CLEANLY", flush=True)
     assert "TRAIN_EXITED_CLEANLY" in full, full[-2000:]
     assert "preempted in epoch 0" in full, full[-2000:]
     assert os.path.isdir(ckdir) and os.listdir(ckdir), "no checkpoint written"
+
+
+def test_nan_guard_halts_on_divergence():
+    """trainer.nan_guard: N halts after N consecutive non-finite losses."""
+    import pytest
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["trainer"]["nan_guard"] = 2
+    cfg.raw["model"]["lr"] = 1e18  # guaranteed divergence
+    cfg.raw["model"]["warmup_steps"] = 0
+    with pytest.raises(RuntimeError, match="non-finite"):
+        train(cfg, max_steps=10, synthetic=True)

@@ -378,11 +378,27 @@ def train(
         # dispatch through the runtime) overlap device compute instead of
         # serializing with it. The reference's torch loop has the same
         # hard sync via `loss.item()` every iteration.
-        epoch_state = {"loss": 0.0, "t_last": 0.0}
+        epoch_state = {"loss": 0.0, "t_last": 0.0, "nonfinite": 0}
+        # halt after N consecutive non-finite losses (0 = off). With the
+        # dynamic loss scaler a single overflow step is normal (the scaler
+        # backs off); a run of them means the model diverged and every
+        # further step is wasted chip time. The reference trains on.
+        nan_guard = int(trainer.get("nan_guard", 0))
 
         def _resolve(pending):
             p_epoch, p_it, p_step, loss, aux = pending
             loss_f = float(loss)  # blocks until that step completed
+            if nan_guard:
+                if not np.isfinite(loss_f):
+                    epoch_state["nonfinite"] += 1
+                    if epoch_state["nonfinite"] >= nan_guard:
+                        raise RuntimeError(
+                            f"loss non-finite for {nan_guard} consecutive "
+                            f"steps (last: {loss_f} at epoch {p_epoch} it "
+                            f"{p_it}) — training diverged"
+                        )
+                else:
+                    epoch_state["nonfinite"] = 0
             now = time.perf_counter()
             dt = now - epoch_state["t_last"]
             epoch_state["t_last"] = now
