@@ -135,3 +135,25 @@ def test_schedule_is_deterministic_across_processes(tmp_path):
     dm_b.setup()
     keys_b = [b["dict_key"] for b in itertools.islice(dm_b.train_dataloader(), 6)]
     assert keys_a == keys_b
+
+
+def test_loop_mode_schedule_is_process_invariant(tmp_path):
+    """loop=True: the per-step dataset choice must be identical on every
+    process even when their file shards exhaust at different steps — a
+    process-local StopIteration must wrap the shard around, not change the
+    schedule (otherwise one SPMD batch mixes datasets across hosts)."""
+    import itertools
+
+    kwargs = dict(data_par_size=4, group_list="2:2")
+    dm0 = _dm(tmp_path, [("small", 4), ("big", 8)], proc_rank=0, num_procs=2,
+              **kwargs)
+    dm0.setup()
+    dm1 = _dm(tmp_path, [("small", 4), ("big", 8)], proc_rank=1, num_procs=2,
+              roots=dm0.dict_root_dirs, **kwargs)
+    dm1.setup()
+    # far beyond the small dataset's per-process shard (2 files = 1 batch)
+    n = 12
+    keys0 = [b["dict_key"] for b in itertools.islice(dm0.train_dataloader(loop=True), n)]
+    keys1 = [b["dict_key"] for b in itertools.islice(dm1.train_dataloader(loop=True), n)]
+    assert keys0 == keys1, f"schedules diverged: {keys0} vs {keys1}"
+    assert set(keys0) == {"small", "big"}

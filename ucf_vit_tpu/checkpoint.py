@@ -55,6 +55,7 @@ def save_checkpoint(
     state,
     loss_list=None,
     block: bool = True,
+    slot_epoch: Optional[int] = None,
 ) -> str:
     """Write the even/odd checkpoint for this epoch. Returns the dir.
 
@@ -64,8 +65,16 @@ def save_checkpoint(
     and the even/odd rotation means the previous same-parity file is only
     replaced once the new save commits — the reference's crash-robustness
     contract (`README.md:985`) is preserved.
+
+    slot_epoch overrides which parity slot is written while `epoch` is still
+    what resume reads. The preemption save uses this: it records epoch-1 (so
+    the interrupted epoch re-runs) but writes into the current epoch's slot —
+    overwriting the OLDEST checkpoint instead of force-deleting the newest
+    committed one, which a SIGKILL mid-write would otherwise lose.
     """
-    path = _ckpt_dir(checkpoint_path, filename, epoch)
+    path = _ckpt_dir(
+        checkpoint_path, filename, epoch if slot_epoch is None else slot_epoch
+    )
     ckptr = _async_ckptr()
     lst = [float(v) for v in (loss_list if loss_list is not None else [])]
     payload = {
@@ -89,7 +98,23 @@ def restore_checkpoint(
     """Restore from <checkpoint_path>/<filename_for_loading> (the reference
     passes e.g. 'multi_last_odd' explicitly, `configs/.../base_config.yaml`).
     abstract_payload (same pytree of jax.ShapeDtypeStruct with shardings)
-    restores directly onto the mesh."""
+    restores directly onto the mesh.
+
+    filename_for_loading may end in '_latest' (e.g. 'multi_last_latest'):
+    the newer of the _even/_odd slots is chosen by commit time — the right
+    default after a preemption, where which parity holds the newest state
+    depends on when the signal landed."""
+    if filename_for_loading.endswith("_latest"):
+        stem = filename_for_loading[: -len("_latest")]
+        candidates = [
+            os.path.abspath(os.path.join(checkpoint_path, f"{stem}_{p}"))
+            for p in ("even", "odd")
+        ]
+        candidates = [c for c in candidates if os.path.isdir(c)]
+        assert candidates, f"no {stem}_even/_odd checkpoint under {checkpoint_path}"
+        filename_for_loading = os.path.basename(
+            max(candidates, key=os.path.getmtime)
+        )
     path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
     wait_until_finished()  # an async save to this slot may still be in flight
     ckptr = ocp.StandardCheckpointer()
@@ -99,11 +124,15 @@ def restore_checkpoint(
 
 
 def decode_loss_list(arr) -> list:
-    """Inverse of the length-prefixed loss_list encoding in save_checkpoint."""
+    """Inverse of the length-prefixed loss_list encoding in save_checkpoint.
+    Arrays whose first element is not a consistent length prefix are treated
+    as the pre-prefix format (a plain list of epoch losses)."""
     arr = np.asarray(arr)
     if arr.size == 0:
         return []
-    return [float(v) for v in arr[1:]]
+    if float(arr[0]) == float(arr.size - 1):
+        return [float(v) for v in arr[1:]]
+    return [float(v) for v in arr]
 
 
 # ---------------------------------------------------------------------------

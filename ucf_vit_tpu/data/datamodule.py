@@ -275,12 +275,22 @@ class DataModule:
         )
         return dict(zip(keys, group_list))
 
-    def train_dataloader(self) -> Iterator[dict]:
+    def train_dataloader(self, loop: bool = False) -> Iterator[dict]:
         """Scheduled batches across this process's dataset chains: each step
         one dataset, chosen by deterministic weighted round-robin (all
         processes compute the same schedule, so the global SPMD batch is
         dataset-pure). Each batch dict carries its dataset key (the
-        reference appends dict_key to every collate output)."""
+        reference appends dict_key to every collate output).
+
+        loop=True (the trainer's mode): the per-step dataset choice is a pure
+        function of the step index — chain exhaustion, whose timing is
+        process-LOCAL (file shards differ in tile counts), never alters the
+        schedule; the local shard wraps around instead (reference keys_to_add
+        refill semantics) and epoch length is governed by
+        iterations_per_epoch. Reacting to exhaustion would desynchronize the
+        dataset choice across processes and feed mixed datasets into one
+        SPMD batch. loop=False ends when all chains are exhausted (eval /
+        data-audit mode; single-process only)."""
         assert self.dict_data_train is not None, "call setup() first"
         weights = self._schedule_weights()
 
@@ -295,11 +305,18 @@ class DataModule:
                 try:
                     batch = next(iters[k])
                 except StopIteration:
-                    # chain exhausted (keys_to_add refill rounding); keep
-                    # going with the remaining datasets like the reference's
-                    # max-group epoch accounting
-                    del iters[k]
-                    continue
+                    if not loop:
+                        del iters[k]
+                        continue
+                    iters[k] = iter(self.dict_data_train[k])
+                    try:
+                        batch = next(iters[k])
+                    except StopIteration:
+                        raise RuntimeError(
+                            f"dataset {k!r} yields no batches on this "
+                            f"process's file shard — shard too small for "
+                            f"the batch size"
+                        ) from None
                 emitted[k] += 1
                 batch["dict_key"] = k
                 yield batch

@@ -252,7 +252,7 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
     )
     if png_dir:
         for i in range(batch):
-            img = imgs[i, 0] if imgs.ndim == 4 else imgs[i]
+            img = imgs[i, 0] if imgs.ndim >= 4 else imgs[i]  # drop channel
             if img.ndim == 3:  # 3D volume: middle slice
                 img = img[..., img.shape[-1] // 2]
             _dump_generated_png(png_dir, i, img)
@@ -260,19 +260,7 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
 
 
 def _dump_generated_png(png_dir: str, idx: int, img: np.ndarray):
-    import os
-
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    os.makedirs(png_dir, exist_ok=True)
-    fig, ax = plt.subplots(figsize=(4, 4))
-    ax.imshow(img, cmap="gray", interpolation="nearest")
-    ax.axis("off")
-    fig.savefig(os.path.join(png_dir, f"generated_{idx}.png"), dpi=80)
-    plt.close(fig)
+    _save_panels(png_dir, f"generated_{idx}.png", [(None, img)], cmap="gray")
 
 
 def _deserialize_pred(pred, qdt, sqrt_len: int, p: int, twoD: bool) -> np.ndarray:
@@ -292,6 +280,16 @@ def _deserialize_pred(pred, qdt, sqrt_len: int, p: int, twoD: bool) -> np.ndarra
 def _dump_png(png_dir: str, idx: int, pred: np.ndarray, label: np.ndarray):
     """Pred-vs-label visualization (middle slice for 3D). Parity:
     `inference_unetr_simple.py:426-457`."""
+    if pred.ndim == 3:
+        z = pred.shape[-1] // 2
+        pred, label = pred[..., z], label[..., z]
+    _save_panels(
+        png_dir, f"sample_{idx}.png", [("prediction", pred), ("label", label)]
+    )
+
+
+def _save_panels(png_dir: str, name: str, panels, cmap=None):
+    """Write a row of image panels [(title, 2D array), ...] to a PNG."""
     import os
 
     import matplotlib
@@ -300,17 +298,15 @@ def _dump_png(png_dir: str, idx: int, pred: np.ndarray, label: np.ndarray):
     import matplotlib.pyplot as plt
 
     os.makedirs(png_dir, exist_ok=True)
-    if pred.ndim == 3:
-        z = pred.shape[-1] // 2
-        pred, label = pred[..., z], label[..., z]
-    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
-    axes[0].imshow(pred, interpolation="nearest")
-    axes[0].set_title("prediction")
-    axes[1].imshow(label, interpolation="nearest")
-    axes[1].set_title("label")
-    for ax in axes:
+    fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (title, img) in zip(axes, panels):
+        ax.imshow(img, cmap=cmap, interpolation="nearest")
+        if title:
+            ax.set_title(title)
         ax.axis("off")
-    fig.savefig(os.path.join(png_dir, f"sample_{idx}.png"), dpi=80)
+    fig.savefig(os.path.join(png_dir, name), dpi=80)
     plt.close(fig)
 
 

@@ -74,6 +74,16 @@ class MAE(VIT):
     def setup(self):
         assert not self.class_token, "MAE runs with class_token=False"
         assert self.num_classes is None, "MAE has no classification head"
+        if self.seq_pack > 1:
+            from ucf_vit_tpu.ops.attention import SHORT_SEQ_THRESHOLD
+
+            packed = self.seq_pack * self.len_keep
+            assert packed <= SHORT_SEQ_THRESHOLD, (
+                f"seq_pack {self.seq_pack} x len_keep {self.len_keep} = "
+                f"{packed} tokens exceeds the segment-masked attention limit "
+                f"({SHORT_SEQ_THRESHOLD}); packing only pays when the kept "
+                f"sequence is short — lower seq_pack"
+            )
         super().setup()
 
         mask_dim = self.embed_dim if self.linear_decoder else self.decoder_embed_dim

@@ -68,9 +68,7 @@ SHORT_SEQ_THRESHOLD = 1024
 SP_MODE = "auto"
 
 
-def resolve_impl(
-    impl: AttnImpl | str, n_kv: int | None = None, n_q: int | None = None
-) -> AttnImpl:
+def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
     if isinstance(impl, str):
         impl = AttnImpl.from_string(impl)
     if impl == AttnImpl.AUTO:
@@ -80,6 +78,19 @@ def resolve_impl(
             return AttnImpl.EINSUM
         return AttnImpl.FLASH
     return impl
+
+
+@functools.lru_cache(maxsize=1)
+def _warn_interpret_once() -> None:
+    import warnings
+
+    warnings.warn(
+        "AttnImpl.FLASH requested on a non-TPU, non-CPU backend: the Pallas "
+        "TPU kernel runs in interpret mode here (very slow). Use "
+        "AttnImpl.XLA or AUTO on this backend.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def einsum_attention(
@@ -190,16 +201,27 @@ def multi_head_attention(
     (see einsum_attention). Supported on the EINSUM and XLA paths; packed
     sequences are short by construction, so AUTO lands on EINSUM.
     """
-    impl = resolve_impl(impl, n_kv=k.shape[2], n_q=q.shape[2])
+    impl = resolve_impl(impl, n_kv=k.shape[2])
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    # Pallas kernels only compile on TPU; on any other backend (the CPU test
-    # mesh) run them in interpret mode so FLASH stays numerically testable
-    # end-to-end without a chip.
-    interpret = interpret or not _default_backend_is_tpu()
+    # Pallas TPU kernels only compile on TPU; on other backends run them in
+    # interpret mode so FLASH stays numerically testable end-to-end without
+    # a chip. On anything but the CPU test mesh that is a silent
+    # orders-of-magnitude slowdown, so say so once.
+    if not _default_backend_is_tpu():
+        if not interpret and jax.default_backend() != "cpu":
+            _warn_interpret_once()
+        interpret = True
 
     if seg_len is not None and impl == AttnImpl.FLASH:
-        # no segment support in the flash kernel; packed sequences are short
+        # The flash kernel has no segment-mask support. Packed sequences are
+        # kept short by construction (MAE asserts seq_pack * len_keep stays
+        # under SHORT_SEQ_THRESHOLD), where einsum is the faster path anyway.
+        assert k.shape[2] <= SHORT_SEQ_THRESHOLD, (
+            f"segment-masked attention over {k.shape[2]} tokens would "
+            f"materialize the full score matrix; reduce seq_pack so the "
+            f"packed length stays <= {SHORT_SEQ_THRESHOLD}"
+        )
         impl = AttnImpl.EINSUM
 
     if impl == AttnImpl.FLASH:

@@ -278,6 +278,20 @@ def train(
     except ValueError:
         pass  # not the main thread (in-process tests): feature disabled
 
+    def _preempt_now() -> bool:
+        """All processes must agree on preemption at the same step boundary:
+        SIGTERM lands at different moments per host, and a host that breaks
+        out while the others dispatch the next SPMD step deadlocks the job
+        (and the collective checkpoint save never runs)."""
+        if jax.process_count() == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([preempted["flag"]], dtype=np.bool_)
+        )
+        return bool(np.asarray(flags).any())
+
     with mesh_context(mesh):
         state, state_sharding = create_sharded_train_state(
             init_fn, tx, mesh,
@@ -428,13 +442,16 @@ def train(
                     metrics_file.flush()
 
         for epoch in range(epoch_start, max_epochs):
-            it = synth if synth is not None else dm.train_dataloader()
+            # loop=True: the dataset schedule stays a pure function of the
+            # step index across processes (see DataModule.train_dataloader)
+            it = synth if synth is not None else dm.train_dataloader(loop=True)
             count, t_epoch = 0, time.perf_counter()
             epoch_state["loss"] = 0.0
             epoch_state["t_last"] = t_epoch
             pending = None
             for batch in it:
-                if preempted["flag"]:
+                if _preempt_now():
+                    preempted["flag"] = True  # adopt a remote host's signal
                     break
                 if count >= iterations_per_epoch:
                     break
@@ -467,6 +484,10 @@ def train(
                         epoch - 1,  # re-run the interrupted epoch on resume
                         state,
                         loss_list,
+                        # write the OLDEST parity slot, not the newest: a
+                        # SIGKILL mid-write must not take the last committed
+                        # checkpoint with it
+                        slot_epoch=epoch,
                     )
                     if jax.process_index() == 0:
                         print(
