@@ -164,3 +164,19 @@ def test_nan_guard_halts_on_divergence():
     cfg.raw["model"]["warmup_steps"] = 0
     with pytest.raises(RuntimeError, match="non-finite"):
         train(cfg, max_steps=10, synthetic=True)
+
+
+def test_profiler_trace_written(tmp_path):
+    """trainer.profile_dir captures a jax.profiler trace of steps 10-15
+    (the observability subsystem the reference lacks, SURVEY.md §5)."""
+    import os
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    pdir = str(tmp_path / "trace")
+    cfg.raw["trainer"]["profile_dir"] = pdir
+    train(cfg, max_steps=16, synthetic=True)
+    found = []
+    for root, _dirs, files in os.walk(pdir):
+        found.extend(files)
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz")) or "xplane" in f
+               for f in found), f"no trace artifacts in {pdir}: {found}"
