@@ -72,3 +72,30 @@ def test_transfer_mae_encoder():
     np.testing.assert_array_equal(
         np.asarray(out["pos_embed"]), np.asarray(mae_params["pos_embed"])
     )
+
+
+def test_latest_slot_resolution(tmp_path):
+    """'<name>_latest' picks the newer of _even/_odd by commit time, and the
+    preemption-style slot override writes the resume epoch into a chosen
+    parity slot without touching the other."""
+    import time
+
+    path = str(tmp_path)
+    ckpt.save_checkpoint(path, "last", epoch=4, state=_state(4), loss_list=[1.0])
+    time.sleep(0.05)
+    ckpt.save_checkpoint(path, "last", epoch=5, state=_state(5), loss_list=[1.0, 0.5])
+    got = ckpt.restore_checkpoint(path, "last_latest")
+    assert int(got["epoch"]) == 5  # odd slot is newer
+
+    # preemption during epoch 6: record epoch 5 for resume but write the
+    # even (oldest) slot — the committed odd checkpoint must survive
+    time.sleep(0.05)
+    ckpt.save_checkpoint(path, "last", epoch=5, state=_state(7),
+                         loss_list=[1.0, 0.5], slot_epoch=6)
+    got = ckpt.restore_checkpoint(path, "last_latest")
+    assert int(got["epoch"]) == 5
+    np.testing.assert_array_equal(np.asarray(got["state"]["params"]["w"]),
+                                  np.full((4, 4), 7.0))  # the even slot (newer)
+    odd = ckpt.restore_checkpoint(path, "last_odd")
+    np.testing.assert_array_equal(np.asarray(odd["state"]["params"]["w"]),
+                                  np.full((4, 4), 5.0))  # untouched
