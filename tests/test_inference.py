@@ -120,3 +120,23 @@ def test_diffusion_sampling(tmp_path):
     assert np.isfinite(sps) and sps > 0
     assert os.path.exists(os.path.join(png_dir, "generated_0.png"))
     assert os.path.exists(os.path.join(png_dir, "generated_1.png"))
+
+
+def test_diffusion_sampling_3d_png(tmp_path):
+    """3D volumes: the PNG dump must drop the channel axis and slice the
+    middle plane (regression: 5-D array reached imshow)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.inference import generate_diffusion
+
+    cfg = _cfg(
+        "diffusion",
+        extra_init={"tile_size": [16, 16, 16], "patch_size": 4,
+                    "embed_dim": 24, "twoD": False,
+                    "decoder_embed_dim": 12, "decoder_depth": 1,
+                    "decoder_num_heads": 2, "mlp_ratio_decoder": 4,
+                    "num_time_steps": 3},
+    )
+    png_dir = str(tmp_path / "png")
+    sps = generate_diffusion(cfg, num_samples=1, png_dir=png_dir)
+    assert np.isfinite(sps)
+    assert os.path.exists(os.path.join(png_dir, "generated_0.png"))
