@@ -53,7 +53,9 @@ def loss_fn(params, b, rng):
     pred, mask = model.apply({"params": params}, b["x"], rngs={"mask": rng})
     return masked_mse(pred, patchify(b["x"], 8, True), mask)
 
-mesh = make_mesh(2, 1, 1, 1)  # ddp=2 across the two processes
+import os as _os
+mesh_shape = tuple(int(v) for v in _os.environ["UCF_MESH"].split(","))
+mesh = make_mesh(*mesh_shape)
 with mesh_context(mesh):
     shapes = jax.eval_shape(init_fn)["params"]
     tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2, max_steps=10)
@@ -75,7 +77,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_training():
+import pytest
+
+
+@pytest.mark.parametrize("mesh_shape", ["2,1,1,1", "1,2,1,1"])
+def test_two_process_mesh_training(mesh_shape):
+    """ddp=2: batch split across processes; fsdp=2: parameters sharded
+    across the process boundary (ZeRO-3 over 'DCN')."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
@@ -83,6 +91,7 @@ def test_two_process_mesh_training():
         PYTHONPATH="",  # drop any sitecustomize that overrides the backend
         UCF_REPO=repo,
         UCF_PORT=str(_free_port()),
+        UCF_MESH=mesh_shape,
     )
     env.pop("XLA_FLAGS", None)  # one device per process, no virtual mesh
     procs = [
