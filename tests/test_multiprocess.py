@@ -113,3 +113,75 @@ def test_two_process_mesh_training(mesh_shape):
     assert losses[0] == losses[1], f"ranks disagree: {losses}"
     vals = eval(losses[0][len("LOSSES "):])
     assert all(np.isfinite(v) for v in vals) and len(vals) == 3
+
+
+_PREEMPT_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["UCF_REPO"])
+import jax
+jax.distributed.initialize(
+    coordinator_address="localhost:" + os.environ["UCF_PORT"],
+    num_processes=2, process_id=int(sys.argv[1]),
+)
+sys.path.insert(0, os.environ["UCF_REPO"] + "/tests")
+from test_trainer import _cfg
+from ucf_vit_tpu.train import train
+cfg = _cfg("classification", extra_data={"num_classes": 3},
+           parallelism={"fsdp_size": 1, "simple_ddp_size": 2,
+                        "tensor_par_size": 1, "seq_par_size": 1})
+cfg.raw["trainer"]["checkpoint_path"] = os.environ["UCF_CK"]
+cfg.raw["trainer"]["max_epochs"] = 500
+train(cfg, synthetic=True)
+print(f"RANK{jax.process_index()} EXITED_CLEANLY", flush=True)
+"""
+
+
+def test_two_process_preemption_sync(tmp_path):
+    """SIGTERM delivered to rank 0 ONLY: the per-step flag allgather must
+    make BOTH ranks break at the same SPMD boundary, run the collective
+    checkpoint save, and exit cleanly — a rank acting alone on its local
+    signal would deadlock the other (round-2 review finding)."""
+    import signal
+    import threading
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = str(tmp_path / "ck")
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
+        UCF_REPO=repo, UCF_PORT=str(_free_port()), UCF_CK=ck,
+    )
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _PREEMPT_WORKER, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    buf = {0: [], 1: []}
+
+    def reader(i):
+        for line in procs[i].stdout:
+            buf[i].append(line)
+
+    threads = [threading.Thread(target=reader, args=(i,), daemon=True)
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    deadline = time.time() + 400
+    while time.time() < deadline:
+        if any("epoch 0 it" in l for l in buf[0]):
+            break
+        if procs[0].poll() is not None:
+            break
+        time.sleep(1)
+    time.sleep(3)
+    procs[0].send_signal(signal.SIGTERM)  # rank 0 ONLY
+    rcs = [p.wait(timeout=240) for p in procs]
+    for t in threads:
+        t.join(timeout=5)
+    out0, out1 = "".join(buf[0]), "".join(buf[1])
+    assert rcs == [0, 0], (out0[-1500:], out1[-1500:])
+    assert "EXITED_CLEANLY" in out0 and "preempted in epoch" in out0, out0[-1500:]
+    assert "EXITED_CLEANLY" in out1, out1[-1500:]
+    assert os.path.isdir(ck) and os.listdir(ck), "no checkpoint written"
