@@ -36,7 +36,15 @@ def test_even_odd_roundtrip(tmp_path):
                                   np.full((4, 4), 5.0))
     got6 = ckpt.restore_checkpoint(path, "last_even")
     assert int(got6["epoch"]) == 6
-    assert ckpt.decode_loss_list(got6["loss_list"]) == [0.2]
+    assert ckpt.loss_list_from_payload(got6) == [0.2]
+    # v2 payloads carry the explicit format version in the key name; a
+    # first-epoch loss equal to len-1 (the v1 heuristic's ambiguity) decodes
+    # correctly
+    amb = ckpt.save_checkpoint(path, "amb", epoch=0, state=_state(0),
+                               loss_list=[0.0])
+    assert ckpt.loss_list_from_payload(ckpt.restore_checkpoint(path, "amb_even")) == [0.0]
+    # legacy v1 payloads still decode
+    assert ckpt.loss_list_from_payload({"loss_list": np.asarray([2.0, 1.0, 0.5])}) == [1.0, 0.5]
 
 
 def test_transfer_mae_encoder():
@@ -75,17 +83,22 @@ def test_transfer_mae_encoder():
 
 
 def test_latest_slot_resolution(tmp_path):
-    """'<name>_latest' picks the newer of _even/_odd by commit time, and the
-    preemption-style slot override writes the resume epoch into a chosen
-    parity slot without touching the other."""
+    """'<name>_latest' picks the slot with the larger *stored epoch* (mtime
+    only breaks ties), and the preemption-style slot override writes the
+    resume epoch into a chosen parity slot without touching the other."""
+    import os
     import time
 
     path = str(tmp_path)
     ckpt.save_checkpoint(path, "last", epoch=4, state=_state(4), loss_list=[1.0])
     time.sleep(0.05)
     ckpt.save_checkpoint(path, "last", epoch=5, state=_state(5), loss_list=[1.0, 0.5])
+    # deliberately skew mtimes so the OLDER-epoch slot looks newer on disk
+    # (clock skew / rsync on shared storage): the stored epoch must win
+    now = time.time()
+    os.utime(os.path.join(path, "last_even"), (now + 3600, now + 3600))
     got = ckpt.restore_checkpoint(path, "last_latest")
-    assert int(got["epoch"]) == 5  # odd slot is newer
+    assert int(got["epoch"]) == 5  # odd slot holds the larger epoch
 
     # preemption during epoch 6: record epoch 5 for resume but write the
     # even (oldest) slot — the committed odd checkpoint must survive

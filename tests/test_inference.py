@@ -98,9 +98,13 @@ def test_batched_inference_matches_bs1(tmp_path):
     root = os.path.join(tmp_path, "ct2")
     _make_ct_dataset(root, 4, (32, 32, 4))
     cfg = _sap_cfg(root, twoD=True)
+    # synthetic_batches draws per-sample, so bs=1 x4 and bs=2 x2 see the
+    # identical 4 samples; dice_metric averages per-sample, so the means
+    # must agree exactly (round-2 review: this was only asserted finite)
     d1 = evaluate(cfg, synthetic=True, num_samples=4, batch_size=1)
     d2 = evaluate(cfg, synthetic=True, num_samples=2, batch_size=2)
     assert np.isfinite(d1) and np.isfinite(d2)
+    assert np.isclose(d1, d2, rtol=1e-5), (d1, d2)
 
 
 def test_diffusion_sampling(tmp_path):

@@ -61,10 +61,12 @@ def save_checkpoint(
 
     block=False starts an async save (device arrays are snapshotted first, so
     training can donate/overwrite them immediately) and returns; the write
-    overlaps the next epoch. Orbax serializes consecutive saves internally,
-    and the even/odd rotation means the previous same-parity file is only
-    replaced once the new save commits — the reference's crash-robustness
-    contract (`README.md:985`) is preserved.
+    overlaps the next epoch. Crash-robustness contract (the reference's
+    even/odd rotation, `README.md:985`): force=True clears the same-parity
+    slot in the *blocking* part of the save, so a crash during the async
+    write window loses that slot — survivability rests on the OTHER parity
+    slot, which always holds the previous committed epoch. A crash therefore
+    loses at most one epoch, same as the reference.
 
     slot_epoch overrides which parity slot is written while `epoch` is still
     what resume reads. The preemption save uses this: it records epoch-1 (so
@@ -80,14 +82,39 @@ def save_checkpoint(
     payload = {
         "epoch": np.asarray(epoch),
         "state": state,
-        # length-prefixed: Orbax rejects zero-size arrays, and a preemption
-        # save during the first epoch has an empty loss history
-        "loss_list": np.asarray([float(len(lst))] + lst),
+        # explicit format version in the key name (the v1 "loss_list" key
+        # inferred its length-prefix from data values, which misparses a
+        # first-epoch loss that happens to equal len-1); length-prefixed
+        # because Orbax rejects zero-size arrays and a preemption save
+        # during the first epoch has an empty loss history
+        "loss_list_v2": np.asarray([float(len(lst))] + lst),
     }
     ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     if block:
         ckptr.wait_until_finished()
     return path
+
+
+def stored_epoch(path: str) -> int:
+    """Read just the 'epoch' scalar from a checkpoint directory — a partial
+    restore that never touches the (large) model state."""
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    try:
+        r = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore({"epoch": 0}, partial_restore=True)
+        )
+        return int(np.asarray(r["epoch"]))
+    finally:
+        ckptr.close()
+
+
+def _payload_keys(path: str):
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    try:
+        md = ckptr.metadata(path).item_metadata
+        return set(md.keys())
+    finally:
+        ckptr.close()
 
 
 def restore_checkpoint(
@@ -101,9 +128,16 @@ def restore_checkpoint(
     restores directly onto the mesh.
 
     filename_for_loading may end in '_latest' (e.g. 'multi_last_latest'):
-    the newer of the _even/_odd slots is chosen by commit time — the right
-    default after a preemption, where which parity holds the newest state
-    depends on when the signal landed."""
+    the slot whose *stored epoch* is larger is chosen — the epoch recorded
+    inside the payload is authoritative, unlike directory mtime which is
+    fragile across filesystems/clock skew on shared storage. mtime only
+    breaks ties (a preemption save can legitimately record the same epoch
+    in both slots).
+
+    Checkpoints written before the 'loss_list_v2' key rename are restored
+    transparently (the abstract payload's loss key is remapped to whatever
+    the on-disk checkpoint actually contains)."""
+    wait_until_finished()  # an async save to a slot may still be in flight
     if filename_for_loading.endswith("_latest"):
         stem = filename_for_loading[: -len("_latest")]
         candidates = [
@@ -113,18 +147,37 @@ def restore_checkpoint(
         candidates = [c for c in candidates if os.path.isdir(c)]
         assert candidates, f"no {stem}_even/_odd checkpoint under {checkpoint_path}"
         filename_for_loading = os.path.basename(
-            max(candidates, key=os.path.getmtime)
+            max(candidates, key=lambda c: (stored_epoch(c), os.path.getmtime(c)))
         )
     path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
-    wait_until_finished()  # an async save to this slot may still be in flight
     ckptr = ocp.StandardCheckpointer()
     if abstract_payload is None:
         return ckptr.restore(path)
+    # remap the loss-list key to match the on-disk format version
+    loss_keys = {"loss_list", "loss_list_v2"}
+    want = loss_keys & set(abstract_payload)
+    if want:
+        on_disk = _payload_keys(path) & loss_keys
+        if on_disk and on_disk != want:
+            abstract_payload = dict(abstract_payload)
+            abstract_payload[on_disk.pop()] = abstract_payload.pop(want.pop())
     return ckptr.restore(path, abstract_payload)
 
 
+def loss_list_from_payload(payload) -> list:
+    """Decode the per-epoch loss history from a restored payload, handling
+    both the current 'loss_list_v2' key (length prefix trusted) and the
+    legacy 'loss_list' key (prefix inferred from data values)."""
+    if "loss_list_v2" in payload:
+        arr = np.asarray(payload["loss_list_v2"])
+        if arr.size == 0:
+            return []
+        return [float(v) for v in arr[1 : 1 + int(arr[0])]]
+    return decode_loss_list(payload.get("loss_list", np.zeros((0,))))
+
+
 def decode_loss_list(arr) -> list:
-    """Inverse of the length-prefixed loss_list encoding in save_checkpoint.
+    """Inverse of the legacy (v1) length-prefixed loss_list encoding.
     Arrays whose first element is not a consistent length prefix are treated
     as the pre-prefix format (a plain list of epoch losses)."""
     arr = np.asarray(arr)

@@ -40,9 +40,12 @@ class MAE(VIT):
     decoder_num_heads: int = 16
     mlp_ratio_decoder: float = 4.0
     # Sequence packing: fold seq_pack samples' kept tokens into one encoder
-    # sequence with block-diagonal attention (seg_len = len_keep). Numerics
-    # are identical to unpacked attention (cross-sample scores are masked);
-    # throughput rises because a 75%-masked encoder runs tiny sequences
+    # sequence with block-diagonal attention (seg_len = len_keep). With
+    # drop_path == 0 (all shipped configs) numerics are identical to unpacked
+    # attention (cross-sample scores are masked); with drop_path > 0 DropPath
+    # draws one mask per packed row, which would share one stochastic-depth
+    # decision across the packed samples — setup() rejects that combination.
+    # Throughput rises because a 75%-masked encoder runs tiny sequences
     # (e.g. 64 of 256 tokens) that under-fill the chip. Pure capability-plus:
     # the reference runs the short sequences as-is.
     seq_pack: int = 1
@@ -77,6 +80,12 @@ class MAE(VIT):
         if self.seq_pack > 1:
             from ucf_vit_tpu.ops.attention import SHORT_SEQ_THRESHOLD
 
+            assert self.drop_path_rate == 0.0, (
+                "seq_pack > 1 with drop_path > 0 would share one DropPath "
+                "decision across all samples packed into a row (the mask is "
+                "drawn per packed row) — a silent training-distribution "
+                "change. Use seq_pack=1 or drop_path_rate=0."
+            )
             packed = self.seq_pack * self.len_keep
             assert packed <= SHORT_SEQ_THRESHOLD, (
                 f"seq_pack {self.seq_pack} x len_keep {self.len_keep} = "

@@ -46,7 +46,12 @@ from ucf_vit_tpu import checkpoint as ckpt
 
 def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator[dict]:
     """Shape-correct random batches for benchmarking / smoke runs without a
-    dataset on disk (capability-plus; the reference always needs real data)."""
+    dataset on disk (capability-plus; the reference always needs real data).
+
+    Samples are drawn one at a time and stacked, so the sample *stream* is
+    independent of batch size: bs=1 over 2N batches sees exactly the samples
+    bs=2 sees over N — which is what makes batched-vs-bs1 eval equivalence
+    testable (tests/test_inference.py)."""
     rng = np.random.default_rng(seed)
     nd = 2 if cfg.twoD else 3
     tile = tuple(cfg.tile_size[:nd])
@@ -55,30 +60,35 @@ def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator
         cfg.init_args.get("num_classes", cfg.data.get("num_classes", 1000) or 1000)
     )
     p = cfg.patch_size
-    while True:
-        batch = {
-            "x": rng.normal(size=(global_batch, c) + tile).astype(np.float32),
-            "variables": tuple(cfg.default_vars[:c] or ("v",)),
-        }
+
+    def one_sample() -> dict:
+        s = {"x": rng.normal(size=(c,) + tile).astype(np.float32)}
         if cfg.adaptive_patching:
             L = cfg.fixed_length
-            batch["seq"] = rng.normal(size=(global_batch, c, L, p**nd)).astype(
+            s["seq"] = rng.normal(size=(c, L, p**nd)).astype(np.float32)
+            s["seq_size"] = np.full((c, L), 2.0, np.float32)
+            s["seq_pos"] = rng.uniform(0, tile[0], size=(c, L, nd)).astype(
                 np.float32
             )
-            batch["seq_size"] = np.full((global_batch, c, L), 2.0, np.float32)
-            batch["seq_pos"] = rng.uniform(
-                0, tile[0], size=(global_batch, c, L, nd)
-            ).astype(np.float32)
             if cfg.task in ("unetr", "sap"):
-                batch["seq_label"] = rng.integers(
-                    0, num_classes, size=(global_batch, L) + (p,) * nd
+                s["seq_label"] = rng.integers(
+                    0, num_classes, size=(L,) + (p,) * nd
                 ).astype(np.int64)
         if cfg.task == "classification":
-            batch["label"] = rng.integers(0, num_classes, size=(global_batch,))
+            s["label"] = rng.integers(0, num_classes, size=())
         elif cfg.task == "unetr":
-            batch["label"] = rng.integers(
-                0, num_classes, size=(global_batch, 1) + tile
-            ).astype(np.int64)
+            s["label"] = rng.integers(0, num_classes, size=(1,) + tile).astype(
+                np.int64
+            )
+        return s
+
+    variables = tuple(cfg.default_vars[:c] or ("v",))
+    while True:
+        samples = [one_sample() for _ in range(global_batch)]
+        batch = {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }
+        batch["variables"] = variables
         yield batch
 
 
@@ -120,13 +130,25 @@ def build_dataloader(
             def __init__(self):
                 self._epoch = 0
 
-            def train_dataloader(self):
-                return catsdogs_loader(ds, global_batch, seed=self._epoch)
+            def train_dataloader(self, loop: bool = False):
+                # map-style loader: an epoch ends when the (sharded, shuffled)
+                # index list is exhausted — `loop` is accepted for interface
+                # parity with DataModule but a finite epoch is the correct
+                # semantics here (torch DistributedSampler behaves the same)
+                del loop
+                return catsdogs_loader(
+                    ds,
+                    global_batch,
+                    shard_rank=jax.process_index(),
+                    num_shards=jax.process_count(),
+                    seed=self._epoch,
+                )
 
             def reset(self):
                 self._epoch += 1
 
-        return _CatsDogsModule(), None, None
+        n_batches = len(ds) // (global_batch * jax.process_count())
+        return _CatsDogsModule(), None, {"catsdogs": n_batches}
 
     from ucf_vit_tpu.data.datamodule import DataModule
 
@@ -278,13 +300,24 @@ def train(
     except ValueError:
         pass  # not the main thread (in-process tests): feature disabled
 
-    def _preempt_now() -> bool:
+    # Cross-process consensus cadence: the allgather is a host-blocking
+    # collective, and running it every step would serialize exactly the
+    # host/device overlap the 1-step-lagged loop buys. Every host sees the
+    # same step counter, so polling on a fixed stride keeps the collective
+    # schedule identical across processes (a host acting on its local flag
+    # alone would deadlock the others mid-SPMD-step). A few extra steps
+    # before checkpointing is harmless — SLURM/TPU grace windows are minutes.
+    preempt_sync_every = max(1, int(trainer.get("preempt_sync_every", 25)))
+
+    def _preempt_now(step_idx: int) -> bool:
         """All processes must agree on preemption at the same step boundary:
         SIGTERM lands at different moments per host, and a host that breaks
         out while the others dispatch the next SPMD step deadlocks the job
         (and the collective checkpoint save never runs)."""
         if jax.process_count() == 1:
             return preempted["flag"]
+        if step_idx % preempt_sync_every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -331,11 +364,11 @@ def train(
                 trainer["checkpoint_path"],
                 trainer["checkpoint_filename_for_loading"],
                 {"epoch": np.asarray(0), "state": abstract,
-                 "loss_list": np.zeros((0,))},
+                 "loss_list_v2": np.zeros((0,))},
             )
             state = payload["state"]
             epoch_start = int(payload["epoch"]) + 1
-            loss_list = ckpt.decode_loss_list(payload["loss_list"])
+            loss_list = ckpt.loss_list_from_payload(payload)
             print(f"resumed from epoch {epoch_start - 1}", flush=True)
 
         # one jitted step per variables-set: single_channel / multi-dataset
@@ -450,7 +483,7 @@ def train(
             epoch_state["t_last"] = t_epoch
             pending = None
             for batch in it:
-                if _preempt_now():
+                if _preempt_now(total_steps):
                     preempted["flag"] = True  # adopt a remote host's signal
                     break
                 if count >= iterations_per_epoch:
