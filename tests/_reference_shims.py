@@ -97,6 +97,134 @@ def get_norm_layer(layer):
     return layer
 
 
+# ---------------------------------------------------------------------------
+# MONAI UNETR decoder blocks — torch implementations of the semantics
+# documented in ucf_vit_tpu/models/unet_blocks.py (instance norm no-affine,
+# LeakyReLU 0.01, residual blocks with 1x1-conv downsample, transposed-conv
+# upsampling with kernel == stride), so the reference's UNETR
+# (`simple/arch.py:757-1113`) can run as the wiring oracle: the parity test
+# then checks the reference's skip-index selection, proj_feat ordering,
+# encoder/decoder chaining, and upsample placement against ours.
+# ---------------------------------------------------------------------------
+
+
+def _conv_nd(spatial_dims):
+    return {2: nn.Conv2d, 3: nn.Conv3d}[spatial_dims]
+
+
+def _convt_nd(spatial_dims):
+    return {2: nn.ConvTranspose2d, 3: nn.ConvTranspose3d}[spatial_dims]
+
+
+def _inorm_nd(spatial_dims):
+    return {2: nn.InstanceNorm2d, 3: nn.InstanceNorm3d}[spatial_dims]
+
+
+def get_conv_layer(spatial_dims, in_channels, out_channels, kernel_size=3,
+                   stride=1, conv_only=True, is_transposed=False, **kwargs):
+    assert conv_only, "shim supports conv_only=True (all reference uses)"
+    if is_transposed:
+        return _convt_nd(spatial_dims)(
+            in_channels, out_channels, kernel_size, stride
+        )
+    return _conv_nd(spatial_dims)(
+        in_channels, out_channels, kernel_size, stride,
+        padding=(kernel_size - 1) // 2,
+    )
+
+
+class UnetResBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, kernel_size,
+                 stride, norm_name="instance"):
+        super().__init__()
+        self.conv1 = get_conv_layer(spatial_dims, in_channels, out_channels,
+                                    kernel_size, stride)
+        self.conv2 = get_conv_layer(spatial_dims, out_channels, out_channels,
+                                    kernel_size, 1)
+        self.norm1 = _inorm_nd(spatial_dims)(out_channels)
+        self.norm2 = _inorm_nd(spatial_dims)(out_channels)
+        self.lrelu = nn.LeakyReLU(0.01)
+        self.downsample = in_channels != out_channels or stride != 1
+        if self.downsample:
+            self.conv3 = get_conv_layer(spatial_dims, in_channels,
+                                        out_channels, 1, stride)
+            self.norm3 = _inorm_nd(spatial_dims)(out_channels)
+
+    def forward(self, x):
+        residual = x
+        y = self.lrelu(self.norm1(self.conv1(x)))
+        y = self.norm2(self.conv2(y))
+        if self.downsample:
+            residual = self.norm3(self.conv3(residual))
+        return self.lrelu(y + residual)
+
+
+class UnetrBasicBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, kernel_size,
+                 stride, norm_name="instance", res_block=True):
+        super().__init__()
+        assert res_block, "shim implements res_block=True (all reference uses)"
+        self.layer = UnetResBlock(spatial_dims, in_channels, out_channels,
+                                  kernel_size, stride)
+
+    def forward(self, x):
+        return self.layer(x)
+
+
+class UnetrPrUpBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, num_layer,
+                 kernel_size, stride, upsample_kernel_size,
+                 norm_name="instance", conv_block=True, res_block=True):
+        super().__init__()
+        assert conv_block and res_block, "shim: conv_block=res_block=True"
+        up = upsample_kernel_size
+        self.transp_conv_init = get_conv_layer(
+            spatial_dims, in_channels, out_channels, up, up, is_transposed=True
+        )
+        self.blocks = nn.ModuleList([
+            nn.Sequential(
+                get_conv_layer(spatial_dims, out_channels, out_channels, up,
+                               up, is_transposed=True),
+                UnetResBlock(spatial_dims, out_channels, out_channels,
+                             kernel_size, 1),
+            )
+            for _ in range(num_layer)
+        ])
+
+    def forward(self, x):
+        x = self.transp_conv_init(x)
+        for blk in self.blocks:
+            x = blk(x)
+        return x
+
+
+class UnetrUpBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, kernel_size,
+                 upsample_kernel_size, norm_name="instance", res_block=True):
+        super().__init__()
+        assert res_block, "shim implements res_block=True (all reference uses)"
+        up = upsample_kernel_size
+        self.transp_conv = get_conv_layer(
+            spatial_dims, in_channels, out_channels, up, up, is_transposed=True
+        )
+        self.conv_block = UnetResBlock(spatial_dims, out_channels * 2,
+                                       out_channels, kernel_size, 1)
+
+    def forward(self, inp, skip):
+        out = self.transp_conv(inp)
+        out = torch.cat((out, skip), dim=1)
+        return self.conv_block(out)
+
+
+class UnetOutBlock(nn.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels):
+        super().__init__()
+        self.conv = _conv_nd(spatial_dims)(in_channels, out_channels, 1, 1)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
 def install() -> None:
     """Register timm/monai shim modules in sys.modules (idempotent)."""
     if "timm" in sys.modules and getattr(sys.modules["timm"], "_is_shim", False):
@@ -139,11 +267,11 @@ def install() -> None:
     networks = types.ModuleType("monai.networks")
     blocks = types.ModuleType("monai.networks.blocks")
     dynunet = types.ModuleType("monai.networks.blocks.dynunet_block")
-    blocks.UnetrBasicBlock = _unavailable("UnetrBasicBlock")
-    blocks.UnetrPrUpBlock = _unavailable("UnetrPrUpBlock")
-    blocks.UnetrUpBlock = _unavailable("UnetrUpBlock")
-    dynunet.UnetOutBlock = _unavailable("UnetOutBlock")
-    dynunet.get_conv_layer = _unavailable_fn("get_conv_layer")
+    blocks.UnetrBasicBlock = UnetrBasicBlock
+    blocks.UnetrPrUpBlock = UnetrPrUpBlock
+    blocks.UnetrUpBlock = UnetrUpBlock
+    dynunet.UnetOutBlock = UnetOutBlock
+    dynunet.get_conv_layer = get_conv_layer
     blocks.dynunet_block = dynunet
     networks.blocks = blocks
     monai.networks = networks
