@@ -15,8 +15,9 @@ CONFIGS = sorted(
 
 
 def test_found_all_configs():
-    # the reference's 8 workloads + the ViT-L scale-out variant
-    assert len(CONFIGS) == 9
+    # the reference's 8 workloads + the ViT-L scale-out variant + the
+    # long-context sequence-parallel MAE (capability-plus)
+    assert len(CONFIGS) == 10
 
 
 @pytest.mark.parametrize("path", CONFIGS)

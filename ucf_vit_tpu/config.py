@@ -156,6 +156,16 @@ class Config:
         assert heads % tp == 0, "num_heads must divide by tensor_par_size"
         emb = int(self.init_args.get("embed_dim", 768))
         assert emb % heads == 0, "embed_dim must divide by num_heads"
+        sp_mode = str(self.parallelism.get("sp_mode", "auto")).lower()
+        assert sp_mode in ("auto", "ulysses", "ring", "gather"), (
+            f"parallelism.sp_mode must be auto|ulysses|ring|gather, got {sp_mode}"
+        )
+        if sp_mode == "ulysses":
+            sp = int(self.parallelism.get("seq_par_size", 1))
+            assert (heads // tp) % max(sp, 1) == 0, (
+                "sp_mode=ulysses needs num_heads/tensor_par_size divisible "
+                "by seq_par_size"
+            )
 
 
 TASK_ALIASES = {

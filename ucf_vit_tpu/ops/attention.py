@@ -62,10 +62,30 @@ def _default_backend_is_tpu() -> bool:
 # spills VMEM and XLA materializes it in HBM (1.05 GB/layer measured).
 SHORT_SEQ_THRESHOLD = 1024
 
-# Sequence-parallel attention strategy under sp > 1:
-#   "auto": Ulysses a2a when local heads divide by sp, else KV-gather.
-#   "ring": ring attention (rotating KV chunks, O(N/sp) memory per chip).
+# Sequence-parallel attention strategy under sp > 1 (config key
+# `parallelism.sp_mode`, plumbed via set_sp_mode from the trainer):
+#   "auto":    Ulysses a2a when local heads divide by sp, else KV-gather.
+#   "ulysses": force the a2a head<->seq swap (errors if heads don't divide).
+#   "ring":    ring attention (rotating KV chunks, O(N/sp) memory per chip
+#              in both directions — custom VJP recomputes chunk probs).
+#   "gather":  all-gather K/V along sp, queries stay sharded (O(N) keys).
+SP_MODES = ("auto", "ulysses", "ring", "gather")
 SP_MODE = "auto"
+
+
+def set_sp_mode(mode: str) -> None:
+    """Select the sequence-parallel attention strategy (process-wide; it is
+    a runtime execution strategy, not a model property — the same checkpoint
+    runs under any mode). Fills the reference's declared-but-empty SP slot
+    (`train_masked_fsdp.py:220`) with an actual product surface."""
+    global SP_MODE
+    mode = mode.lower()
+    assert mode in SP_MODES, f"sp_mode {mode!r} not in {SP_MODES}"
+    SP_MODE = mode
+
+
+def get_sp_mode() -> str:
+    return SP_MODE
 
 
 def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
@@ -151,7 +171,17 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     sp_size = mesh.shape.get("sp", 1) if sp else 1
     tp_size = mesh.shape.get("tp", 1) if tp else 1
     local_heads = q.shape[1] // tp_size
-    use_ulysses = sp is not None and local_heads % sp_size == 0
+    divisible = local_heads % sp_size == 0
+    if SP_MODE == "ulysses":
+        assert divisible, (
+            f"sp_mode=ulysses needs local heads ({local_heads}) divisible by "
+            f"seq_par_size ({sp_size}); use sp_mode=ring or auto"
+        )
+    use_ulysses = (
+        sp is not None
+        and SP_MODE in ("auto", "ulysses")
+        and divisible
+    )
 
     def local_attn(q, k, v):
         if sp is None:
@@ -159,7 +189,7 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
         if SP_MODE == "ring":
             from ucf_vit_tpu.ops.ring_attention import ring_attention
 
-            return ring_attention(q, k, v, sp, sm_scale=sm_scale)
+            return ring_attention(q, k, v, sp, sm_scale)
         if use_ulysses:
             # Ulysses SP: a2a swaps head-sharding for seq-sharding, so each
             # shard computes full-sequence attention on H/(tp*sp) heads —

@@ -319,4 +319,10 @@ TASKS: Dict[str, Callable] = {
 
 
 def build_task(cfg: Config):
+    # sp_mode is a runtime attention strategy, not a model property: set it
+    # process-wide from the config here, the single point every entry path
+    # (trainer, inference, graft entry) funnels through.
+    from ucf_vit_tpu.ops.attention import set_sp_mode
+
+    set_sp_mode(str(cfg.parallelism.get("sp_mode", "auto")))
     return TASKS[cfg.task](cfg)
