@@ -1,0 +1,170 @@
+"""End-to-end pipeline-fed benchmark: files on disk -> FileReader -> tiling
+-> (adaptive patchify) -> collate -> shard_batch -> jitted train step.
+
+VERDICT r2: every BASELINE number was a synthetic-tensor train step; this
+measures the same workloads *through the real data engine*, so input-bound
+configs are visible and `data.num_workers` can be tuned on evidence.
+
+Usage:
+  python benchmarks/bench_pipeline.py configs/basic_ct/unetr/base_config.yaml \
+      [--num-workers N] [--batches K] [--data-only] [--files M]
+
+Generates a synthetic .npy tree shaped like the config's dataset (volumes
+sized 2x tile in x/y), overrides dict_root_dirs to it, then reports
+steady-state samples/s (a) loader-only and (b) with the real train step
+consuming the batches (unless --data-only). JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_ct_tree(root: str, cfg, n_files: int, seed: int = 0) -> None:
+    """imagesTr/labelsTr .npy volumes matching the config's tile geometry."""
+    rng = np.random.default_rng(seed)
+    di, dl = os.path.join(root, "imagesTr"), os.path.join(root, "labelsTr")
+    os.makedirs(di, exist_ok=True)
+    os.makedirs(dl, exist_ok=True)
+    ts = cfg.tile_size + [None] * (3 - len(cfg.tile_size))
+    nx = ts[0] * 2
+    ny = ts[1] * 2
+    nz = (ts[2] or ts[0])
+    for i in range(n_files):
+        vol = rng.normal(0.5, 0.2, size=(nx, ny, nz)).astype(np.float32)
+        np.save(os.path.join(di, f"vol{i}.npy"), vol)
+        if cfg.task in ("unetr", "sap"):
+            np.save(
+                os.path.join(dl, f"vol{i}.npy"),
+                (vol > 0.5).astype(np.int64),
+            )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--num-workers", type=int, default=None,
+                    help="override data.num_workers")
+    ap.add_argument("--batches", type=int, default=30)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--data-only", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override per-rank batch size")
+    args = ap.parse_args(argv)
+
+    from ucf_vit_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    assert cfg.dataset == "basic_ct", "bench_pipeline covers basic_ct configs"
+    # single process / single data rank: measure THIS host's engine
+    cfg.raw["parallelism"] = {"fsdp_size": 1, "simple_ddp_size": 1,
+                              "tensor_par_size": 1, "seq_par_size": 1}
+    if args.num_workers is not None:
+        cfg.raw["data"]["num_workers"] = args.num_workers
+    if args.batch_size is not None:
+        cfg.raw["data"]["batch_size"] = args.batch_size
+    root = tempfile.mkdtemp(prefix="bench_pipeline_")
+    synth_ct_tree(root, cfg, args.files)
+    key = list(cfg.data["dict_root_dirs"])[0]
+    cfg.raw["data"]["dict_root_dirs"] = {key: root}
+    cfg.raw["load_balancing"] = {"auto_load_balancing": False}
+
+    from ucf_vit_tpu.train import build_dataloader
+
+    batch_size = cfg.batch_size
+    warm = 4
+
+    def measure_loader():
+        dm, _, _ = build_dataloader(cfg, batch_size, synthetic=False)
+        it = dm.train_dataloader(loop=True)
+        n = 0
+        t0 = None
+        for batch in it:
+            n += 1
+            if n == warm:
+                t0 = time.perf_counter()
+            if n >= warm + args.batches:
+                break
+        dt = time.perf_counter() - t0
+        return args.batches * batch_size / dt
+
+    loader_sps = measure_loader()
+    result = {
+        "metric": "pipeline_loader_samples_per_s",
+        "value": round(loader_sps, 2),
+        "unit": "samples/s",
+        "num_workers": int(cfg.data.get("num_workers", 1)),
+        "batch_size": batch_size,
+        "config": os.path.basename(os.path.dirname(args.config)),
+    }
+
+    if not args.data_only:
+        import jax
+        import jax.numpy as jnp
+
+        from ucf_vit_tpu.parallel.mesh import mesh_context, mesh_from_config, shard_batch
+        from ucf_vit_tpu.parallel.train_step import (
+            create_sharded_train_state,
+            make_train_step,
+        )
+        from ucf_vit_tpu.tasks import build_task
+        from ucf_vit_tpu.train import _init_variables, example_batch
+        from ucf_vit_tpu.utils.optim import configure_optimizer
+
+        model, loss_fn = build_task(cfg)
+        mesh = mesh_from_config(cfg.parallelism)
+        ex = example_batch(cfg, batch_size)
+
+        def init_fn():
+            rngs = {"params": jax.random.key(0), "mask": jax.random.key(1),
+                    "dropout": jax.random.key(2)}
+            return _init_variables(model, rngs, cfg, ex, None)
+
+        with mesh_context(mesh):
+            shapes = jax.eval_shape(init_fn)["params"]
+            tx = configure_optimizer(shapes, lr=1e-4, warmup_steps=10,
+                                     max_steps=1000)
+            state, _ = create_sharded_train_state(init_fn, tx, mesh)
+            step = make_train_step(
+                lambda p, b, r: loss_fn(p, b, r, var_ids=None), tx,
+                accum_steps=int(cfg.trainer.get("accum_steps", 1)),
+                donate=False,
+            )
+            dm, _, _ = build_dataloader(cfg, batch_size, synthetic=False)
+            it = dm.train_dataloader(loop=True)
+            n = 0
+            t0 = None
+            loss = None
+            for batch in it:
+                arrays = {k: v for k, v in batch.items()
+                          if isinstance(v, np.ndarray)}
+                sbatch = shard_batch(mesh, arrays)
+                state, loss, _ = step(state, sbatch, jax.random.key(n))
+                n += 1
+                if n == warm:
+                    float(loss)  # sync before starting the clock
+                    t0 = time.perf_counter()
+                if n >= warm + args.batches:
+                    break
+            lf = float(loss)  # device sync closes the timing window
+            dt = time.perf_counter() - t0
+            assert np.isfinite(lf)
+            result["metric"] = "pipeline_train_samples_per_s"
+            result["train_value"] = round(args.batches * batch_size / dt, 2)
+            result["loader_value"] = result.pop("value")
+            result["value"] = result["train_value"]
+
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,88 @@ def test_latest_slot_resolution(tmp_path):
     odd = ckpt.restore_checkpoint(path, "last_odd")
     np.testing.assert_array_equal(np.asarray(odd["state"]["params"]["w"]),
                                   np.full((4, 4), 5.0))  # untouched
+
+
+def test_elastic_topology_resume(tmp_path):
+    """Save under fsdp=2, restore under fsdp=4 and under tp=2: Orbax restores
+    onto whatever sharding the abstract payload carries, so checkpoints are
+    topology-elastic (the reference must hand-map per-rank shard files,
+    `train_masked_fsdp.py:405-411`). Losses of the restored runs must match
+    the uninterrupted run exactly."""
+    import jax.numpy as jnp
+
+    from ucf_vit_tpu.models import MAE
+    from ucf_vit_tpu.ops.attention import AttnImpl
+    from ucf_vit_tpu.ops.patchify import patchify
+    from ucf_vit_tpu.parallel import make_mesh
+    from ucf_vit_tpu.parallel.mesh import mesh_context, shard_batch
+    from ucf_vit_tpu.parallel.train_step import (
+        create_sharded_train_state,
+        make_train_step,
+    )
+    from ucf_vit_tpu.utils.metrics import masked_mse
+    from ucf_vit_tpu.utils.optim import configure_optimizer
+
+    model = MAE(img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=16,
+                depth=2, num_heads=2, class_token=False,
+                default_vars=("r", "g", "b"), mask_ratio=0.75,
+                decoder_embed_dim=8, decoder_depth=1, decoder_num_heads=2,
+                attn_impl=AttnImpl.EINSUM)
+    rng = np.random.default_rng(0)
+    batch = {"x": jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)}
+
+    def init_fn():
+        return model.init(
+            {"params": jax.random.key(0), "mask": jax.random.key(1)},
+            batch["x"],
+        )
+
+    def loss_fn(params, b, r):
+        pred, mask = model.apply({"params": params}, b["x"], rngs={"mask": r})
+        return masked_mse(pred, patchify(b["x"], 8, True), mask)
+
+    shapes = jax.eval_shape(init_fn)["params"]
+    tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+
+    def run(mesh_shape, state=None, steps=2, key0=0):
+        mesh = make_mesh(*mesh_shape)
+        with mesh_context(mesh):
+            if state is None:
+                state, sharding = create_sharded_train_state(init_fn, tx, mesh)
+            else:
+                tmpl, sharding = create_sharded_train_state(init_fn, tx, mesh)
+                abstract = jax.tree.map(
+                    lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+                    jax.eval_shape(lambda: tmpl),
+                    sharding,
+                )
+                payload = ckpt.restore_checkpoint(
+                    str(tmp_path), "el_latest",
+                    {"epoch": np.asarray(0), "state": abstract,
+                     "loss_list_v2": np.zeros((0,))},
+                )
+                state = payload["state"]
+            step = make_train_step(loss_fn, tx, donate=False)
+            losses = []
+            for i in range(steps):
+                state, loss, _ = step(
+                    state, shard_batch(mesh, batch), jax.random.key(key0 + i)
+                )
+                losses.append(float(loss))
+        return state, losses
+
+    # train 2 steps on fsdp=2 x ddp=2, checkpoint
+    state, pre = run((2, 2, 1, 1))
+    ckpt.save_checkpoint(str(tmp_path), "el", epoch=0, state=state,
+                         loss_list=pre)
+
+    # uninterrupted continuation on the SAME mesh = the oracle
+    _, oracle = run((2, 2, 1, 1), state=state, key0=2)
+
+    # restore onto fsdp=4
+    _, got_fsdp4 = run((1, 4, 1, 1), state="restore", key0=2)
+    np.testing.assert_allclose(got_fsdp4, oracle, rtol=1e-6)
+
+    # restore onto tp=2 (param sharding moves to the tensor axis)
+    _, got_tp2 = run((2, 1, 1, 2), state="restore", key0=2)
+    np.testing.assert_allclose(got_tp2, oracle, rtol=1e-6)
