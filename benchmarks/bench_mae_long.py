@@ -1,0 +1,121 @@
+"""Long-context 3D MAE benchmark: the configs/basic_ct/mae_long workload
+measured on ONE chip (128^3 at patch 4 -> 32768-token decoder, 8192-token
+encoder at mask 0.75, decoder 576x8 dh=48, bf16, remat + scan_layers).
+
+The shipped config runs this across fsdp 2 x sp 4 with ring attention; one
+chip cannot exercise sp>1, so this records the single-chip anchor the pod
+numbers scale from. The flash kernel (fused single-kernel backward) carries
+both the 8192-token encoder and the 32768-token decoder.
+
+Usage: python benchmarks/bench_mae_long.py [batch=1] [accum=1]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import peak_flops  # noqa: E402
+
+TILE = 128
+PATCH = 4
+DIM, DEPTH, HEADS = 768, 12, 12
+DDIM, DDEPTH, DHEADS = 576, 8, 12
+MASK_RATIO = 0.75
+STEPS = 6
+WARMUP = 2
+
+
+def train_flops_per_volume() -> float:
+    n = (TILE // PATCH) ** 3  # 32768
+    n_keep = int(n * (1 - MASK_RATIO))  # 8192
+    per_tok = lambda d, nn, mlp=4: (8 + 4 * mlp) * d * d + 4 * nn * d
+    fwd = n_keep * DEPTH * per_tok(DIM, n_keep)
+    fwd += n * DDEPTH * per_tok(DDIM, n)
+    fwd += n * 2 * (PATCH ** 3) * DIM
+    fwd += n_keep * 2 * DIM * DDIM
+    fwd += n * 2 * DDIM * (PATCH ** 3)
+    return 3.0 * fwd
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    accum = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    from ucf_vit_tpu.models import MAE
+    from ucf_vit_tpu.ops.attention import AttnImpl
+    from ucf_vit_tpu.ops.patchify import patchify
+    from ucf_vit_tpu.utils.metrics import masked_mse
+    from ucf_vit_tpu.utils.optim import configure_optimizer
+    from ucf_vit_tpu.parallel.train_step import TrainState, make_train_step, unbox
+
+    model = MAE(
+        img_size=(TILE, TILE, TILE),
+        patch_size=PATCH,
+        in_chans=1,
+        num_classes=None,
+        embed_dim=DIM,
+        depth=DEPTH,
+        num_heads=HEADS,
+        class_token=False,
+        twoD=False,
+        default_vars=("ct",),
+        attn_impl=AttnImpl.FLASH,
+        dtype=jnp.bfloat16,
+        mask_ratio=MASK_RATIO,
+        decoder_embed_dim=DDIM,
+        decoder_depth=DDEPTH,
+        decoder_num_heads=DHEADS,
+        remat=True,
+        scan_layers=True,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 1, TILE, TILE, TILE)), jnp.float32)
+    params = unbox(
+        model.init({"params": jax.random.key(0), "mask": jax.random.key(1)}, x)[
+            "params"
+        ]
+    )
+    tx = configure_optimizer(params, lr=1e-4, warmup_steps=100, max_steps=10000)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+    def loss_fn(params, b, rng):
+        pred, mask = model.apply({"params": params}, b["x"], rngs={"mask": rng})
+        target = patchify(b["x"], PATCH, twoD=False)
+        return masked_mse(pred, target, mask)
+
+    step = make_train_step(loss_fn, tx, donate=False, accum_steps=accum)
+    b = {"x": x}
+    for i in range(WARMUP):
+        state, loss, _ = step(state, b, jax.random.key(i))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss, _ = step(state, b, jax.random.key(i))
+    float(loss)
+    dt = time.perf_counter() - t0
+    vps = batch * STEPS / dt
+    mfu = train_flops_per_volume() * vps / peak_flops(jax.devices()[0])
+    print(
+        json.dumps(
+            {
+                "metric": "mae_long_128cubed_train_volumes_per_sec_per_chip",
+                "value": round(vps, 3),
+                "unit": "volumes/s/chip",
+                "batch": batch,
+                "accum": accum,
+                "self_mfu": round(mfu, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

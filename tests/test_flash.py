@@ -159,3 +159,14 @@ def test_fused_backward_matches_two_kernel():
             fa._flash_len_cache.cache_clear()
         for a, b in zip(g_fused, g_two):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bwd_block_k_vmem_guard():
+    """Long-N fused backward halves the kv block so the scoped-VMEM total
+    (full-sequence dq scratch + 5 block_q x block_k f32 intermediates) stays
+    under the 16 MB limit; short-N shapes keep the measured-fastest 1024."""
+    from ucf_vit_tpu.ops.flash_attention import _bwd_block_k
+
+    assert _bwd_block_k(4096, 64, 1024) == 1024  # the benchmarked regime
+    assert _bwd_block_k(32768, 48, 1024) == 512  # mae_long decoder (OOM'd)
+    assert _bwd_block_k(32768, 48, 256) == 256  # never grows

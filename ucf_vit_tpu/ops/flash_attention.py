@@ -455,20 +455,42 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False)
 
 
 # Full-sequence f32 dq scratch cap for the fused backward; beyond this the
-# two-kernel fallback is used (n_q_pad * dh * 4 bytes; 6 MB = 24k tokens @ dh=64).
+# two-kernel fallback is used (n_q_pad * lane-padded-dh * 4 bytes; 6 MB =
+# 12k tokens at any dh <= 128, since VMEM lanes pad dh to 128).
 FUSED_BWD_DQ_SCRATCH_BYTES = 6 * 1024 * 1024
+
+
+def _dq_scratch_bytes(n_q: int, dh: int) -> int:
+    """VMEM footprint of the fused backward's full-sequence f32 dq scratch.
+    VMEM tiles pad the lane (last) dimension to NUM_LANES, so dh=48 costs
+    the same as dh=128 — the nominal-dh estimate under-counted by 2.7x and
+    let a 16.8 MB scratch through a 6 MB budget (mae_long OOM)."""
+    return n_q * _ceil_to(dh, NUM_LANES) * 4
+
+
+def _bwd_block_k(n_q: int, dh: int, block_k: int) -> int:
+    """Scoped-VMEM guard for the fused backward: it holds the full-sequence
+    f32 dq scratch PLUS ~5 [block_q, block_k] f32 intermediates (s, p, dp,
+    ds, exp). When the dq scratch is large (long N), a 1024-wide kv block
+    pushes the total past the 16 MB scoped-VMEM limit; halving block_k keeps
+    the fused single-sweep kernel viable longer before the two-kernel
+    fallback takes over."""
+    if _dq_scratch_bytes(n_q, dh) > 4 * 1024 * 1024:
+        return min(block_k, 512)
+    return block_k
 
 
 def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
+    block_k = _bwd_block_k(n_q, dh, block_k)
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv_pad // block_k
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (bh, n_q, NUM_LANES))
 
-    if n_q * dh * 4 <= FUSED_BWD_DQ_SCRATCH_BYTES:
+    if _dq_scratch_bytes(n_q, dh) <= FUSED_BWD_DQ_SCRATCH_BYTES:
         fused_kernel = functools.partial(
             _bwd_fused_kernel,
             sm_scale=sm_scale,
