@@ -26,7 +26,7 @@ from bench import peak_flops  # noqa: E402
 TILE = 128
 PATCH = 4
 DIM, DEPTH, HEADS = 768, 12, 12
-DDIM, DDEPTH, DHEADS = 576, 8, 12
+DDIM, DDEPTH, DHEADS = 576, 8, 6  # dh=96: 75% MXU lane fill (vs 37.5% at 576/12)
 MASK_RATIO = 0.75
 STEPS = 6
 WARMUP = 2
