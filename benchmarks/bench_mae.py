@@ -8,7 +8,12 @@ ViT-B/16 encoder on 256^2 images, mask_ratio 0.75 (64 of 256 tokens kept),
 Self-MFU counts the masked model's OWN matmul FLOPs (encoder at N=64 +
 decoder at N=256 + embed/pred projections), train = 3x fwd.
 
-Usage: python benchmarks/bench_mae.py [seq_pack]
+Usage: python benchmarks/bench_mae.py [seq_pack] [decoder_heads]
+
+decoder_heads defaults to 4 (dh=128, the shipped config layout — fills the
+128-deep MXU contraction exactly). Pass 16 to reproduce the MAE-paper
+512/16 layout (dh=32, 25% lane fill): 1184 vs 1499 img/s/chip on v5e,
+identical params/FLOPs — the lever that also won 1.77x on mae_long.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ ACCUM = 16
 IMG = 256
 PATCH = 16
 DIM, DEPTH, HEADS = 768, 12, 12
-DDIM, DDEPTH, DHEADS = 512, 8, 16
+DDIM, DDEPTH, DHEADS = 512, 8, 4  # dh=128: shipped config layout (BASELINE r3)
 MASK_RATIO = 0.75
 STEPS = 15
 WARMUP = 3
@@ -49,7 +54,8 @@ def mae_train_flops_per_image() -> float:
 
 
 def main():
-    seq_pack = int(sys.argv[1]) if len(sys.argv) > 1 else 4  # measured v5e sweet spot
+    seq_pack = int(sys.argv[1]) if len(sys.argv) > 1 else 2  # measured v5e sweet spot at dh=128
+    dheads = int(sys.argv[2]) if len(sys.argv) > 2 else DHEADS
     from ucf_vit_tpu.models import MAE
     from ucf_vit_tpu.ops.attention import AttnImpl
     from ucf_vit_tpu.utils.metrics import masked_mse
@@ -72,7 +78,7 @@ def main():
         mask_ratio=MASK_RATIO,
         decoder_embed_dim=DDIM,
         decoder_depth=DDEPTH,
-        decoder_num_heads=DHEADS,
+        decoder_num_heads=dheads,
     )
     if seq_pack != 1:
         kwargs["seq_pack"] = seq_pack
@@ -120,6 +126,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/s/chip",
                 "seq_pack": seq_pack,
+                "decoder_heads": dheads,
                 "self_mfu": round(mfu, 4),
                 "vs_baseline": round(mfu / 0.50, 4),
             }

@@ -8,7 +8,10 @@ training step. Encoder dims match the reference's basic_ct MAE config
 (`configs/basic_ct/mae/base_config.yaml`); this variant runs the volume
 natively in 3D instead of the shipped 2D-adaptive slicing.
 
-Usage: python benchmarks/bench_mae3d.py [batch] [accum]
+Usage: python benchmarks/bench_mae3d.py [batch] [accum] [decoder_heads]
+
+decoder_heads defaults to 16 (dh=36, the reference layout); 6 gives dh=96
+(75% MXU lane fill in the N=4096 attention contractions).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from bench import peak_flops  # noqa: E402
 TILE = 64
 PATCH = 4
 DIM, DEPTH, HEADS = 768, 12, 12
-DDIM, DDEPTH, DHEADS = 576, 8, 16
+DDIM, DDEPTH, DHEADS = 576, 8, 6  # dh=96: shipped config layout (BASELINE r3)
 MASK_RATIO = 0.75
 STEPS = 10
 WARMUP = 2
@@ -48,6 +51,7 @@ def train_flops_per_volume() -> float:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     accum = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    dheads = int(sys.argv[3]) if len(sys.argv) > 3 else DHEADS
     from ucf_vit_tpu.models import MAE
     from ucf_vit_tpu.ops.attention import AttnImpl
     from ucf_vit_tpu.ops.patchify import patchify
@@ -71,7 +75,7 @@ def main():
         mask_ratio=MASK_RATIO,
         decoder_embed_dim=DDIM,
         decoder_depth=DDEPTH,
-        decoder_num_heads=DHEADS,
+        decoder_num_heads=dheads,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 1, TILE, TILE, TILE)), jnp.float32)
@@ -110,6 +114,7 @@ def main():
                 "unit": "volumes/s/chip",
                 "batch": batch,
                 "accum": accum,
+                "decoder_heads": dheads,
                 "self_mfu": round(mfu, 4),
             }
         )

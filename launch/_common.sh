@@ -25,3 +25,15 @@ slurm_run() {
   time srun -n "${SLURM_NTASKS:?run under sbatch/srun}" \
     python -m ucf_vit_tpu.train "$config" SLURM "$@"
 }
+
+apptainer_run() {
+  # Containerized SLURM launch (analog of the reference's *_apptainer.sh,
+  # e.g. `launch/imagenet/masked_simple_apptainer.sh`): one container per
+  # task, /dev bound so libtpu sees the accel devices on TPU-attached nodes.
+  # Build the image first: apptainer build ucfvit-tpu.sif apptainer/tpu-vm-ucfvit.def
+  local config="$1"; shift
+  : "${SIF:=ucfvit-tpu.sif}"
+  time srun -n "${SLURM_NTASKS:?run under sbatch/srun}" \
+    apptainer exec --bind /dev "$SIF" \
+    python -m ucf_vit_tpu.train "$config" SLURM "$@"
+}
