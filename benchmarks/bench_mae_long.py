@@ -1,13 +1,15 @@
 """Long-context 3D MAE benchmark: the configs/basic_ct/mae_long workload
 measured on ONE chip (128^3 at patch 4 -> 32768-token decoder, 8192-token
-encoder at mask 0.75, decoder 576x8 dh=48, bf16, remat + scan_layers).
+encoder at mask 0.75, decoder 576x8 at 6 heads (dh=96 — the shipped
+relayout; pass decoder_heads=12 for the reference's dh=48 layout), bf16,
+remat + scan_layers).
 
 The shipped config runs this across fsdp 2 x sp 4 with ring attention; one
 chip cannot exercise sp>1, so this records the single-chip anchor the pod
 numbers scale from. The flash kernel (fused single-kernel backward) carries
 both the 8192-token encoder and the 32768-token decoder.
 
-Usage: python benchmarks/bench_mae_long.py [batch=1] [accum=1]
+Usage: python benchmarks/bench_mae_long.py [batch=1] [accum=1] [decoder_heads=6]
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ def train_flops_per_volume() -> float:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     accum = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    dheads = int(sys.argv[3]) if len(sys.argv) > 3 else DHEADS
     from ucf_vit_tpu.models import MAE
     from ucf_vit_tpu.ops.attention import AttnImpl
     from ucf_vit_tpu.ops.patchify import patchify
@@ -70,7 +73,7 @@ def main():
         mask_ratio=MASK_RATIO,
         decoder_embed_dim=DDIM,
         decoder_depth=DDEPTH,
-        decoder_num_heads=DHEADS,
+        decoder_num_heads=dheads,
         remat=True,
         scan_layers=True,
     )

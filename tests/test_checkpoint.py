@@ -197,3 +197,36 @@ def test_elastic_topology_resume(tmp_path):
     # restore onto tp=2 (param sharding moves to the tensor axis)
     _, got_tp2 = run((2, 1, 1, 2), state="restore", key0=2)
     np.testing.assert_allclose(got_tp2, oracle, rtol=1e-6)
+
+
+def test_head_meta_guard(tmp_path):
+    """Resuming under a different attention-head grouping must fail loudly:
+    every head count at a fixed embed_dim has identical parameter shapes, so
+    without the guard the restore succeeds and silently computes a different
+    function (round-3 review finding on the decoder relayout)."""
+    import pytest
+
+    path = str(tmp_path)
+    ckpt.save_checkpoint(path, "hm", epoch=2, state=_state(2),
+                         loss_list=[1.0], head_meta=(12, 16))
+
+    # matching head grouping restores fine (with and without abstract payload)
+    got = ckpt.restore_checkpoint(path, "hm_even", expect_head_meta=(12, 16))
+    assert [int(v) for v in got["head_meta"]] == [12, 16]
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.asarray(x).shape, np.asarray(x).dtype),
+        {"epoch": np.asarray(0), "state": _state(0),
+         "loss_list_v2": np.zeros((2,))},
+    )
+    got = ckpt.restore_checkpoint(path, "hm_even", abstract,
+                                  expect_head_meta=(12, 16))
+    assert int(got["epoch"]) == 2
+
+    # regrouped heads -> hard error naming both layouts
+    with pytest.raises(ValueError, match=r"\[12, 16\].*\[12, 4\]"):
+        ckpt.restore_checkpoint(path, "hm_even", expect_head_meta=(12, 4))
+
+    # pre-guard checkpoints (no head_meta key) restore without complaint
+    ckpt.save_checkpoint(path, "old", epoch=1, state=_state(1), loss_list=[1.0])
+    got = ckpt.restore_checkpoint(path, "old_odd", expect_head_meta=(12, 4))
+    assert "head_meta" not in got

@@ -167,6 +167,40 @@ def test_bwd_block_k_vmem_guard():
     under the 16 MB limit; short-N shapes keep the measured-fastest 1024."""
     from ucf_vit_tpu.ops.flash_attention import _bwd_block_k
 
-    assert _bwd_block_k(4096, 64, 1024) == 1024  # the benchmarked regime
-    assert _bwd_block_k(32768, 48, 1024) == 512  # mae_long decoder (OOM'd)
-    assert _bwd_block_k(32768, 48, 256) == 256  # never grows
+    assert _bwd_block_k(4096, 64, 1024, 4096) == 1024  # the benchmarked regime
+    assert _bwd_block_k(32768, 48, 1024, 32768) == 512  # mae_long decoder (OOM'd)
+    assert _bwd_block_k(32768, 48, 256, 32768) == 256  # never grows
+    # the clamp result must divide n_kv_pad, else the trailing kv block's
+    # dk/dv would never be written (review r3: q 8448 x kv 640 -> NaN dk)
+    assert _bwd_block_k(32768, 48, 640, 640) == 128
+    assert _bwd_block_k(128, 48, 640, 640) == 640  # unclamped: fwd block kept
+
+
+def test_bwd_block_k_clamp_divides_kv_pad():
+    """Cross-attention where the backward clamp (block_k -> 512) does not
+    divide n_kv_pad: gradients must still cover every key. Reproduces the
+    review-r3 bug (dk NaN/zero for keys past the last full 512 block) at
+    small scale by lowering the clamp threshold."""
+    import ucf_vit_tpu.ops.flash_attention as fa
+
+    q, _, _ = _qkv(b=1, h=1, n=128, dh=16)
+    _, k, v = _qkv(b=1, h=1, n=600, dh=16, seed=1)  # pads to 640
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5) ** 2)
+
+    saved = fa.BWD_BLOCK_K_CLAMP_BYTES
+    try:
+        fa.BWD_BLOCK_K_CLAMP_BYTES = 0  # force the clamp at this tiny shape
+        fa._flash_len_cache.cache_clear()
+        g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.BWD_BLOCK_K_CLAMP_BYTES = saved
+        fa._flash_len_cache.cache_clear()
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

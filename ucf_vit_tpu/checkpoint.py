@@ -56,6 +56,7 @@ def save_checkpoint(
     loss_list=None,
     block: bool = True,
     slot_epoch: Optional[int] = None,
+    head_meta=None,
 ) -> str:
     """Write the even/odd checkpoint for this epoch. Returns the dir.
 
@@ -89,6 +90,10 @@ def save_checkpoint(
         # during the first epoch has an empty loss history
         "loss_list_v2": np.asarray([float(len(lst))] + lst),
     }
+    if head_meta is not None:
+        # [num_heads, decoder_num_heads] — validated on resume (see
+        # _check_head_meta: head regrouping keeps shapes, changes the fn)
+        payload["head_meta"] = np.asarray([int(v) for v in head_meta])
     ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     if block:
         ckptr.wait_until_finished()
@@ -121,6 +126,7 @@ def restore_checkpoint(
     checkpoint_path: str,
     filename_for_loading: str,
     abstract_payload=None,
+    expect_head_meta=None,
 ):
     """Restore from <checkpoint_path>/<filename_for_loading> (the reference
     passes e.g. 'multi_last_odd' explicitly, `configs/.../base_config.yaml`).
@@ -152,16 +158,51 @@ def restore_checkpoint(
     path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
     ckptr = ocp.StandardCheckpointer()
     if abstract_payload is None:
-        return ckptr.restore(path)
+        payload = ckptr.restore(path)
+        _check_head_meta(payload, expect_head_meta)
+        return payload
+    on_disk_keys = _payload_keys(path)
     # remap the loss-list key to match the on-disk format version
     loss_keys = {"loss_list", "loss_list_v2"}
     want = loss_keys & set(abstract_payload)
     if want:
-        on_disk = _payload_keys(path) & loss_keys
+        on_disk = on_disk_keys & loss_keys
         if on_disk and on_disk != want:
             abstract_payload = dict(abstract_payload)
             abstract_payload[on_disk.pop()] = abstract_payload.pop(want.pop())
-    return ckptr.restore(path, abstract_payload)
+    # head_meta is present in checkpoints written after round 3; Orbax is
+    # strict about the abstract tree matching the on-disk tree, so inject
+    # the key when the checkpoint carries it
+    if "head_meta" in on_disk_keys and "head_meta" not in abstract_payload:
+        abstract_payload = dict(abstract_payload)
+        abstract_payload["head_meta"] = np.zeros((2,), np.int64)
+    payload = ckptr.restore(path, abstract_payload)
+    _check_head_meta(payload, expect_head_meta)
+    return payload
+
+
+def _check_head_meta(payload, expect) -> None:
+    """Refuse to resume under a different attention-head grouping.
+
+    All head counts at a fixed embed_dim produce IDENTICAL parameter shapes
+    (qkv/proj are [D, 3D]/[D, D] however heads split D), so a checkpoint
+    trained at one grouping restores cleanly under another while silently
+    computing a different function — the restored weights are effectively
+    scrambled w.r.t. the new head partition. This bit in round 3 when the
+    shipped MAE decoder relayout changed decoder_num_heads 16 -> 4."""
+    if expect is None or "head_meta" not in payload:
+        return
+    got = [int(v) for v in np.asarray(payload["head_meta"])]
+    want = [int(v) for v in expect]
+    if got != want:
+        raise ValueError(
+            f"checkpoint was trained with [num_heads, decoder_num_heads] = "
+            f"{got} but the config now says {want}. Head regrouping keeps "
+            f"parameter shapes but changes the function (attention splits "
+            f"the embed dim differently), so resuming would silently "
+            f"corrupt training. Restore with the original head counts, or "
+            f"start a fresh run for the new layout."
+        )
 
 
 def loss_list_from_payload(payload) -> list:

@@ -370,6 +370,12 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(dh)
 
+    if block_q == DEFAULT_BLOCK_Q and n_q >= 16384:
+        # Long-context regime: bq=1024 measured 13% faster fwd+bwd than 512
+        # at [1,6,32768,96] on v5e (92.4 vs 104.7 ms; the backward's kv
+        # block is clamped there, so q-block width is the remaining lever).
+        # Sweep: benchmarks/bench_flash_blocks.py, BASELINE.md round 3.
+        block_q = 1024
     block_q = min(block_q, _ceil_to(n_q, MIN_BLOCK))
     block_k = min(block_k, _ceil_to(n_kv, MIN_BLOCK))
     n_q_pad = _ceil_to(n_q, block_q)
@@ -468,22 +474,37 @@ def _dq_scratch_bytes(n_q: int, dh: int) -> int:
     return n_q * _ceil_to(dh, NUM_LANES) * 4
 
 
-def _bwd_block_k(n_q: int, dh: int, block_k: int) -> int:
+# dq-scratch size above which the backward narrows its kv block (see
+# _bwd_block_k). Module constant so tests can trigger the clamp at small
+# shapes.
+BWD_BLOCK_K_CLAMP_BYTES = 4 * 1024 * 1024
+
+
+def _bwd_block_k(n_q: int, dh: int, block_k: int, n_kv_pad: int) -> int:
     """Scoped-VMEM guard for the fused backward: it holds the full-sequence
     f32 dq scratch PLUS ~5 [block_q, block_k] f32 intermediates (s, p, dp,
     ds, exp). When the dq scratch is large (long N), a 1024-wide kv block
     pushes the total past the 16 MB scoped-VMEM limit; halving block_k keeps
     the fused single-sweep kernel viable longer before the two-kernel
-    fallback takes over."""
-    if _dq_scratch_bytes(n_q, dh) > 4 * 1024 * 1024:
-        return min(block_k, 512)
+    fallback takes over.
+
+    The result must DIVIDE n_kv_pad (which was padded to a multiple of the
+    forward's block_k): `num_kv_blocks = n_kv_pad // block_k` floor-drops
+    the trailing kv block otherwise, silently zeroing its dk/dv (caught in
+    review round 3: cross-attention q 8448 x kv 640 returned NaN dk for keys
+    512..639). Step down in MIN_BLOCK multiples until it divides; n_kv_pad
+    is always a multiple of MIN_BLOCK, so 128 is a guaranteed floor."""
+    if _dq_scratch_bytes(n_q, dh) > BWD_BLOCK_K_CLAMP_BYTES:
+        block_k = min(block_k, 512)
+    while n_kv_pad % block_k:
+        block_k -= MIN_BLOCK
     return block_k
 
 
 def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
-    block_k = _bwd_block_k(n_q, dh, block_k)
+    block_k = _bwd_block_k(n_q, dh, block_k, n_kv_pad)
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv_pad // block_k
 

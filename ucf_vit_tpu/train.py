@@ -354,6 +354,10 @@ def train(
                 )
             )
             print("initialized encoder from MAE checkpoint", flush=True)
+        head_meta = (
+            int(cfg.init_args.get("num_heads", 12)),
+            int(cfg.init_args.get("decoder_num_heads", 0)),
+        )
         if trainer.get("resume_from_checkpoint", False):
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
@@ -365,6 +369,7 @@ def train(
                 trainer["checkpoint_filename_for_loading"],
                 {"epoch": np.asarray(0), "state": abstract,
                  "loss_list_v2": np.zeros((0,))},
+                expect_head_meta=head_meta,
             )
             state = payload["state"]
             epoch_start = int(payload["epoch"]) + 1
@@ -521,6 +526,7 @@ def train(
                         # SIGKILL mid-write must not take the last committed
                         # checkpoint with it
                         slot_epoch=epoch,
+                        head_meta=head_meta,
                     )
                     if jax.process_index() == 0:
                         print(
@@ -544,6 +550,7 @@ def train(
                     state,
                     loss_list,
                     block=False,
+                    head_meta=head_meta,
                 )
             if dm is not None:
                 dm.reset()
