@@ -333,6 +333,10 @@ def train(
 
         epoch_start = 0
         loss_list = []
+        head_meta = (
+            int(cfg.init_args.get("num_heads", 12)),
+            int(cfg.init_args.get("decoder_num_heads", 0)),
+        )
         if trainer.get("pretrained_mae_checkpoint"):
             # UNETR/SAP encoder init from MAE pretraining (reference pattern:
             # `inference_unetr_simple.py:274-327`, `train_sap_simple.py:308-330`)
@@ -354,10 +358,35 @@ def train(
                 )
             )
             print("initialized encoder from MAE checkpoint", flush=True)
-        head_meta = (
-            int(cfg.init_args.get("num_heads", 12)),
-            int(cfg.init_args.get("decoder_num_heads", 0)),
-        )
+        if trainer.get("init_params_from"):
+            # full-params warm start (fresh optimizer/schedule) — the landing
+            # path for reference checkpoints imported by
+            # `tools/convert_checkpoint.py to-jax`. Unlike
+            # pretrained_mae_checkpoint this copies EVERY entry (decoder
+            # included) and requires exact tree/shape agreement.
+            payload = ckpt.restore_checkpoint(
+                trainer["init_params_from"],
+                trainer.get("init_params_filename", "converted_latest"),
+                expect_head_meta=head_meta,
+            )
+            src = payload["state"]["params"]
+
+            def _put(old, new):
+                assert old.shape == np.shape(new), (
+                    f"init_params_from shape mismatch: checkpoint "
+                    f"{np.shape(new)} vs model {old.shape}"
+                )
+                return jax.device_put(
+                    jnp.asarray(new, old.dtype), old.sharding
+                )
+
+            state = state.replace(
+                params=jax.tree.map(_put, state.params, src)
+            )
+            print(
+                f"initialized params from {trainer['init_params_from']}",
+                flush=True,
+            )
         if trainer.get("resume_from_checkpoint", False):
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
