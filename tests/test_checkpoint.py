@@ -230,3 +230,34 @@ def test_head_meta_guard(tmp_path):
     ckpt.save_checkpoint(path, "old", epoch=1, state=_state(1), loss_list=[1.0])
     got = ckpt.restore_checkpoint(path, "old_odd", expect_head_meta=(12, 4))
     assert "head_meta" not in got
+
+    # None entries are wildcards: the MAE->UNETR transfer checks only the
+    # encoder heads (the decoder is stripped before use)
+    got = ckpt.restore_checkpoint(path, "hm_even", expect_head_meta=(12, None))
+    assert [int(v) for v in got["head_meta"]] == [12, 16]
+    with pytest.raises(ValueError, match="head"):
+        ckpt.restore_checkpoint(path, "hm_even", expect_head_meta=(8, None))
+
+
+def test_head_meta_from_config():
+    """The stamp must record the EFFECTIVE head counts (tasks.py build
+    defaults), so an omitted key and its explicit default compare equal —
+    and decoder-less tasks stamp 0 regardless of stray keys."""
+
+    class _Cfg:
+        def __init__(self, task, ia):
+            self.task, self.init_args = task, ia
+
+    # omitted decoder_num_heads == explicit default 16 for decoder tasks
+    assert ckpt.head_meta_from_config(_Cfg("mae", {"num_heads": 12})) == (12, 16)
+    assert ckpt.head_meta_from_config(
+        _Cfg("mae", {"num_heads": 12, "decoder_num_heads": 16})
+    ) == (12, 16)
+    assert ckpt.head_meta_from_config(
+        _Cfg("diffusion", {"num_heads": 8, "decoder_num_heads": 4})
+    ) == (8, 4)
+    # decoder-less tasks: sentinel 0, even if the key is present in the yaml
+    assert ckpt.head_meta_from_config(
+        _Cfg("classification", {"num_heads": 12, "decoder_num_heads": 16})
+    ) == (12, 0)
+    assert ckpt.head_meta_from_config(_Cfg("unetr", {})) == (12, 0)

@@ -299,9 +299,56 @@ def test_strict_mode_reports_mismatches():
     sd["norm3.weight"] = np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="head.*\n.*norm3|norm3"):
         import_torch_state(sd, template)
-    params, report = import_torch_state(sd, template, strict=False)
+    # lenient + abstract template must fail loudly (no init values to keep),
+    # not silently produce object arrays of ShapeDtypeStructs
+    with pytest.raises(ValueError, match="materialize"):
+        import_torch_state(sd, template, strict=False)
+    real = model.init(jax.random.key(0), x)["params"]
+    params, report = import_torch_state(sd, real, strict=False)
     assert any("head/kernel" in m for m in report["missing"])
     assert report["unused"] == ["norm3.weight"]
+    # the missing leaf kept the model's real init values
+    from flax import linen as fnn
+
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["kernel"]),
+        np.asarray(fnn.meta.unbox(real)["head"]["kernel"]),
+    )
+    assert params["head"]["kernel"].dtype != object
+
+
+def test_lenient_scan_layers_keeps_real_inits():
+    """Regression: lenient import into a scan_layers MATERIALIZED template
+    with a missing per-block tensor must keep that layer's real init values
+    — `_unstack_scan` used to abstract every block leaf, so the fallback
+    stored 0-d object arrays of ShapeDtypeStructs."""
+    model = VIT(
+        num_classes=5, class_token=True, default_vars=("r", "g", "b"),
+        scan_layers=True, attn_impl=AttnImpl.EINSUM, **CFG,
+    )
+    x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    from flax import linen as fnn
+
+    real = fnn.meta.unbox(
+        jax.device_get(model.init(jax.random.key(0), x)["params"])
+    )
+    tm = ref_arch.VIT(
+        num_classes=5, class_token=True, default_vars=["r", "g", "b"], **CFG
+    )
+    sd = _state_dict(tm)
+    dropped = "blocks.1.attn.qkv.bias"
+    sd.pop(dropped)
+    params, report = import_torch_state(sd, real, strict=False)
+    assert any("blocks_1/attn/qkv/bias" in m for m in report["missing"])
+    stacked = np.asarray(params["blocks"]["block"]["attn"]["qkv"]["bias"])
+    assert stacked.dtype != object
+    # layer 1 fell back to the real init; layer 0 came from the torch side
+    np.testing.assert_array_equal(
+        stacked[1], np.asarray(real["blocks"]["block"]["attn"]["qkv"]["bias"])[1]
+    )
+    np.testing.assert_array_equal(
+        stacked[0], np.asarray(_state_dict(tm)["blocks.0.attn.qkv.bias"])
+    )
 
 
 def test_trainer_init_params_from_converted(tmp_path):

@@ -181,6 +181,20 @@ def restore_checkpoint(
     return payload
 
 
+def head_meta_from_config(cfg) -> tuple:
+    """Effective [num_heads, decoder_num_heads] the built model runs with.
+
+    Mirrors tasks.py's build defaults (num_heads 12; decoder_num_heads 16
+    for the two decoder-bearing tasks), so an omitted key and its explicit
+    default stamp identically. Decoder-less tasks stamp 0."""
+    dec = (
+        int(cfg.init_args.get("decoder_num_heads", 16))
+        if cfg.task in ("mae", "diffusion")
+        else 0
+    )
+    return (int(cfg.init_args.get("num_heads", 12)), dec)
+
+
 def _check_head_meta(payload, expect) -> None:
     """Refuse to resume under a different attention-head grouping.
 
@@ -189,12 +203,15 @@ def _check_head_meta(payload, expect) -> None:
     trained at one grouping restores cleanly under another while silently
     computing a different function — the restored weights are effectively
     scrambled w.r.t. the new head partition. This bit in round 3 when the
-    shipped MAE decoder relayout changed decoder_num_heads 16 -> 4."""
+    shipped MAE decoder relayout changed decoder_num_heads 16 -> 4.
+
+    A None entry in `expect` skips that position — the MAE->UNETR/SAP
+    transfer path checks only the encoder heads (the decoder is stripped)."""
     if expect is None or "head_meta" not in payload:
         return
     got = [int(v) for v in np.asarray(payload["head_meta"])]
-    want = [int(v) for v in expect]
-    if got != want:
+    want = [None if v is None else int(v) for v in expect]
+    if any(w is not None and g != w for g, w in zip(got, want)):
         raise ValueError(
             f"checkpoint was trained with [num_heads, decoder_num_heads] = "
             f"{got} but the config now says {want}. Head regrouping keeps "

@@ -166,6 +166,15 @@ class Config:
                 "sp_mode=ulysses needs num_heads/tensor_par_size divisible "
                 "by seq_par_size"
             )
+            if self.task in ("mae", "diffusion"):
+                # the decoder's attention runs under the same sp axis — catch
+                # its head count at load time, not mid-run inside shard_map
+                dec_heads = int(self.init_args.get("decoder_num_heads", 16))
+                assert (dec_heads // tp) % max(sp, 1) == 0, (
+                    "sp_mode=ulysses needs decoder_num_heads/tensor_par_size "
+                    f"divisible by seq_par_size (got {dec_heads} heads, "
+                    f"tp={tp}, sp={sp})"
+                )
 
 
 TASK_ALIASES = {

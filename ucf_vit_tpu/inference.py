@@ -49,7 +49,9 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
     params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
-            checkpoint_dir, cfg.trainer.get("checkpoint_filename_for_loading", "")
+            checkpoint_dir,
+            cfg.trainer.get("checkpoint_filename_for_loading", ""),
+            expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
         params = payload["state"]["params"]
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
@@ -108,7 +110,9 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
 
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
-            checkpoint_dir, cfg.trainer.get("checkpoint_filename_for_loading", "")
+            checkpoint_dir,
+            cfg.trainer.get("checkpoint_filename_for_loading", ""),
+            expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
         params = payload["state"]["params"]
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
@@ -116,6 +120,8 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
         payload = ckpt.restore_checkpoint(
             mae_checkpoint_dir,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
+            # encoder heads must agree; the MAE decoder is stripped
+            expect_head_meta=(ckpt.head_meta_from_config(cfg)[0], None),
         )
         params = ckpt.transfer_mae_encoder(
             payload["state"]["params"], params,
@@ -225,7 +231,9 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
     params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
-            checkpoint_dir, cfg.trainer.get("checkpoint_filename_for_loading", "")
+            checkpoint_dir,
+            cfg.trainer.get("checkpoint_filename_for_loading", ""),
+            expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
         params = payload["state"]["params"]
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)

@@ -356,7 +356,7 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     sm_scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
+    block_q: int | None = None,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -370,12 +370,14 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(dh)
 
-    if block_q == DEFAULT_BLOCK_Q and n_q >= 16384:
-        # Long-context regime: bq=1024 measured 13% faster fwd+bwd than 512
-        # at [1,6,32768,96] on v5e (92.4 vs 104.7 ms; the backward's kv
-        # block is clamped there, so q-block width is the remaining lever).
+    if block_q is None:
+        # None = auto (an EXPLICIT block_q is always honored, so the block
+        # sweep benchmark can measure 512 vs 1024 in the long regime).
+        # Long-context: bq=1024 measured 13% faster fwd+bwd than 512 at
+        # [1,6,32768,96] on v5e (92.4 vs 104.7 ms; the backward's kv block
+        # is clamped there, so q-block width is the remaining lever).
         # Sweep: benchmarks/bench_flash_blocks.py, BASELINE.md round 3.
-        block_q = 1024
+        block_q = 1024 if n_q >= 16384 else DEFAULT_BLOCK_Q
     block_q = min(block_q, _ceil_to(n_q, MIN_BLOCK))
     block_k = min(block_k, _ceil_to(n_kv, MIN_BLOCK))
     n_q_pad = _ceil_to(n_q, block_q)

@@ -12,10 +12,11 @@ entirely on-chip, turning the MLP into a single MXU-bound pass.
 
 The reference has no analogue (its MLP is two torch Linears,
 `simple/building_blocks.py:94-129`); this is TPU-first scheduling of the
-same math. Numerics match the unfused path to bf16 tolerance (f32 GEMM
-accumulation via preferred_element_type, f32 GELU — the unfused bf16 path
-rounds the hidden to bf16 between fc1 and fc2, this kernel keeps it f32,
-so the fused result is the *more* accurate of the two).
+same math. Numerics match the unfused path exactly: f32 GEMM accumulation
+via preferred_element_type and f32 GELU, then the hidden is rounded to the
+input dtype before fc2 — the same bf16 rounding the unfused path performs
+between fc1 and fc2 (deliberate, so fused and unfused are interchangeable
+without a numerics delta; see the equality tolerance in tests).
 
 VMEM budget at D=768, H=3072, bm=256 (bf16 weights):
     W1 + W2 resident         2 * 768*3072*2  = 9.4 MB

@@ -168,16 +168,20 @@ def _unstack_scan(template: Dict[str, Any]) -> Tuple[Dict[str, Any], int]:
     leaves = [l for _, _, l in _iter_leaves(blocks)]
     depth = int(leaves[0].shape[0])
 
-    def slice_tree(t):
+    def slice_tree(t, i):
         if isinstance(t, dict):
-            return {k: slice_tree(v) for k, v in t.items()}
+            return {k: slice_tree(v, i) for k, v in t.items()}
         import jax
 
-        return jax.ShapeDtypeStruct(tuple(t.shape[1:]), t.dtype)
+        if isinstance(t, jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct(tuple(t.shape[1:]), t.dtype)
+        # materialized template: keep layer i's real init values so lenient
+        # import can fall back to them
+        return np.asarray(t)[i]
 
     out = {k: v for k, v in template.items() if k != "blocks"}
     for i in range(depth):
-        out[f"blocks_{i}"] = slice_tree(blocks)
+        out[f"blocks_{i}"] = slice_tree(blocks, i)
     return out, depth
 
 
@@ -242,6 +246,14 @@ def import_torch_state(
         if src is None:
             missing.append("/".join(fpath) + f"  (tried {candidates})")
             if not strict:
+                import jax
+
+                if isinstance(leaf, jax.ShapeDtypeStruct):
+                    raise ValueError(
+                        f"lenient import needs a real init value for missing "
+                        f"leaf {'/'.join(fpath)}, but the template is "
+                        f"abstract — build it with materialize=True"
+                    )
                 set_path(out, fpath, np.asarray(leaf))
             continue
         used.add(src)
@@ -332,10 +344,9 @@ def params_template_from_config(cfg, materialize: bool = False):
 
 
 def _head_meta(cfg):
-    return (
-        int(cfg.init_args.get("num_heads", 12)),
-        int(cfg.init_args.get("decoder_num_heads", 0)),
-    )
+    from ucf_vit_tpu.checkpoint import head_meta_from_config
+
+    return head_meta_from_config(cfg)
 
 
 def to_jax(argv: List[str]) -> int:

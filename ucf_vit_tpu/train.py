@@ -333,16 +333,15 @@ def train(
 
         epoch_start = 0
         loss_list = []
-        head_meta = (
-            int(cfg.init_args.get("num_heads", 12)),
-            int(cfg.init_args.get("decoder_num_heads", 0)),
-        )
+        head_meta = ckpt.head_meta_from_config(cfg)
         if trainer.get("pretrained_mae_checkpoint"):
             # UNETR/SAP encoder init from MAE pretraining (reference pattern:
             # `inference_unetr_simple.py:274-327`, `train_sap_simple.py:308-330`)
             payload = ckpt.restore_checkpoint(
                 trainer["pretrained_mae_checkpoint"],
                 trainer.get("checkpoint_filename_for_loading", ""),
+                # encoder heads must agree; the MAE decoder is stripped
+                expect_head_meta=(head_meta[0], None),
             )
             new_params = ckpt.transfer_mae_encoder(
                 payload["state"]["params"], jax.device_get(state.params),
@@ -517,12 +516,17 @@ def train(
             epoch_state["t_last"] = t_epoch
             pending = None
             for batch in it:
-                if _preempt_now(total_steps):
-                    preempted["flag"] = True  # adopt a remote host's signal
-                    break
+                # bound checks FIRST: they are a pure function of the step
+                # index, identical on every process — whereas _preempt_now
+                # does a cross-process allgather on its stride, so it must be
+                # reached the same number of times on every rank even if one
+                # rank's iterator holds an extra batch (uneven shards)
                 if count >= iterations_per_epoch:
                     break
                 if max_steps is not None and total_steps >= max_steps:
+                    break
+                if _preempt_now(total_steps):
+                    preempted["flag"] = True  # adopt a remote host's signal
                     break
                 arrays = {
                     k: v for k, v in batch.items() if isinstance(v, np.ndarray)
