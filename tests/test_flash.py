@@ -167,13 +167,20 @@ def test_bwd_block_k_vmem_guard():
     under the 16 MB limit; short-N shapes keep the measured-fastest 1024."""
     from ucf_vit_tpu.ops.flash_attention import _bwd_block_k
 
-    assert _bwd_block_k(4096, 64, 1024, 4096) == 1024  # the benchmarked regime
-    assert _bwd_block_k(32768, 48, 1024, 32768) == 512  # mae_long decoder (OOM'd)
-    assert _bwd_block_k(32768, 48, 256, 32768) == 256  # never grows
+    # fused regime (dq scratch fits): the benchmarked 4k shapes keep 1024
+    assert _bwd_block_k(4096, 64, 512, 1024, 4096, fused=True) == 1024
+    # fused long-N: flat 512 cap so dq scratch + intermediates fit
+    assert _bwd_block_k(12288, 48, 512, 1024, 12288, fused=True) == 512
+    # two-kernel long-N: product cap — bq=1024 resolves bk to 512, but a
+    # narrower q block leaves room for a wider kv block (now honorable)
+    assert _bwd_block_k(32768, 96, 1024, 1024, 32768, fused=False) == 512
+    assert _bwd_block_k(32768, 96, 512, 1024, 32768, fused=False) == 1024
+    assert _bwd_block_k(32768, 96, 2048, 1024, 32768, fused=False) == 256
+    assert _bwd_block_k(32768, 48, 1024, 256, 32768, fused=False) == 256  # never grows
     # the clamp result must divide n_kv_pad, else the trailing kv block's
     # dk/dv would never be written (review r3: q 8448 x kv 640 -> NaN dk)
-    assert _bwd_block_k(32768, 48, 640, 640) == 128
-    assert _bwd_block_k(128, 48, 640, 640) == 640  # unclamped: fwd block kept
+    assert _bwd_block_k(32768, 48, 1024, 640, 640, fused=False) == 320
+    assert _bwd_block_k(128, 48, 128, 640, 640, fused=True) == 640  # unclamped
 
 
 def test_bwd_block_k_clamp_divides_kv_pad():

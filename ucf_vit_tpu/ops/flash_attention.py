@@ -482,13 +482,28 @@ def _dq_scratch_bytes(n_q: int, dh: int) -> int:
 BWD_BLOCK_K_CLAMP_BYTES = 4 * 1024 * 1024
 
 
-def _bwd_block_k(n_q: int, dh: int, block_k: int, n_kv_pad: int) -> int:
-    """Scoped-VMEM guard for the fused backward: it holds the full-sequence
-    f32 dq scratch PLUS ~5 [block_q, block_k] f32 intermediates (s, p, dp,
-    ds, exp). When the dq scratch is large (long N), a 1024-wide kv block
-    pushes the total past the 16 MB scoped-VMEM limit; halving block_k keeps
-    the fused single-sweep kernel viable longer before the two-kernel
-    fallback takes over.
+# Two-kernel backward VMEM budget on the [block_q, block_k] f32
+# intermediates (s, p, dp, ds + exp temporaries ~= 5 tensors): cap the
+# product so ~5 * bq * bk * 4 bytes stays ~10 MB, leaving room for the
+# q/k/v/do tiles. 512*1024 (the tuned mid-range default) sits at 10.5 MB.
+BWD_BLOCK_PRODUCT_CAP = 512 * 1024
+
+
+def _bwd_block_k(
+    n_q: int, dh: int, block_q: int, block_k: int, n_kv_pad: int, fused: bool
+) -> int:
+    """Scoped-VMEM guard for the backward kv block.
+
+    Fused path: the kernel holds the full-sequence f32 dq scratch PLUS ~5
+    [block_q, block_k] f32 intermediates (s, p, dp, ds, exp). When the dq
+    scratch is large (long N), a 1024-wide kv block pushes the total past
+    the 16 MB scoped-VMEM limit; halving block_k keeps the fused
+    single-sweep kernel viable longer before the two-kernel fallback.
+
+    Two-kernel path: no full-sequence scratch, so the cap is just the
+    intermediates product (BWD_BLOCK_PRODUCT_CAP) — at the long-context
+    auto block_q=1024 this resolves to block_k=512, but an explicit
+    wider-kv/narrower-q request stays honored.
 
     The result must DIVIDE n_kv_pad (which was padded to a multiple of the
     forward's block_k): `num_kv_blocks = n_kv_pad // block_k` floor-drops
@@ -496,8 +511,12 @@ def _bwd_block_k(n_q: int, dh: int, block_k: int, n_kv_pad: int) -> int:
     review round 3: cross-attention q 8448 x kv 640 returned NaN dk for keys
     512..639). Step down in MIN_BLOCK multiples until it divides; n_kv_pad
     is always a multiple of MIN_BLOCK, so 128 is a guaranteed floor."""
-    if _dq_scratch_bytes(n_q, dh) > BWD_BLOCK_K_CLAMP_BYTES:
-        block_k = min(block_k, 512)
+    if fused:
+        if _dq_scratch_bytes(n_q, dh) > BWD_BLOCK_K_CLAMP_BYTES:
+            block_k = min(block_k, 512)
+    else:
+        while block_q * block_k > BWD_BLOCK_PRODUCT_CAP and block_k > MIN_BLOCK:
+            block_k //= 2
     while n_kv_pad % block_k:
         block_k -= MIN_BLOCK
     return block_k
@@ -506,14 +525,15 @@ def _bwd_block_k(n_q: int, dh: int, block_k: int, n_kv_pad: int) -> int:
 def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
-    block_k = _bwd_block_k(n_q, dh, block_k, n_kv_pad)
+    fused = _dq_scratch_bytes(n_q, dh) <= FUSED_BWD_DQ_SCRATCH_BYTES
+    block_k = _bwd_block_k(n_q, dh, block_q, block_k, n_kv_pad, fused)
     num_q_blocks = n_q // block_q
     num_kv_blocks = n_kv_pad // block_k
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (bh, n_q, NUM_LANES))
 
-    if _dq_scratch_bytes(n_q, dh) <= FUSED_BWD_DQ_SCRATCH_BYTES:
+    if fused:
         fused_kernel = functools.partial(
             _bwd_fused_kernel,
             sm_scale=sm_scale,
