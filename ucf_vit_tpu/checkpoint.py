@@ -122,6 +122,41 @@ def _payload_keys(path: str):
         ckptr.close()
 
 
+def resolve_slot(checkpoint_path: str, filename_for_loading: str) -> str:
+    """Resolve a checkpoint filename to its on-disk directory. A trailing
+    '_latest' picks the even/odd slot with the larger *stored epoch* (mtime
+    only breaks ties — robust to clock skew on shared storage)."""
+    if filename_for_loading.endswith("_latest"):
+        stem = filename_for_loading[: -len("_latest")]
+        candidates = [
+            os.path.abspath(os.path.join(checkpoint_path, f"{stem}_{p}"))
+            for p in ("even", "odd")
+        ]
+        candidates = [c for c in candidates if os.path.isdir(c)]
+        assert candidates, f"no {stem}_even/_odd checkpoint under {checkpoint_path}"
+        filename_for_loading = os.path.basename(
+            max(candidates, key=lambda c: (stored_epoch(c), os.path.getmtime(c)))
+        )
+    return os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+
+
+def state_has_key(checkpoint_path: str, filename_for_loading: str, key: str) -> bool:
+    """Whether the on-disk checkpoint's `state` subtree contains `key`
+    (e.g. 'ema_params') — lets callers reconcile config-toggled state
+    fields with older checkpoints before a strict Orbax restore."""
+    wait_until_finished()
+    path = resolve_slot(checkpoint_path, filename_for_loading)
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    try:
+        md = ckptr.metadata(path).item_metadata
+        state_md = md["state"] if "state" in md.keys() else {}
+        # a TrainState field that was None at save time is recorded as an
+        # explicit None in the metadata tree — that's "absent" for callers
+        return key in state_md and state_md[key] is not None
+    finally:
+        ckptr.close()
+
+
 def restore_checkpoint(
     checkpoint_path: str,
     filename_for_loading: str,
@@ -144,18 +179,7 @@ def restore_checkpoint(
     transparently (the abstract payload's loss key is remapped to whatever
     the on-disk checkpoint actually contains)."""
     wait_until_finished()  # an async save to a slot may still be in flight
-    if filename_for_loading.endswith("_latest"):
-        stem = filename_for_loading[: -len("_latest")]
-        candidates = [
-            os.path.abspath(os.path.join(checkpoint_path, f"{stem}_{p}"))
-            for p in ("even", "odd")
-        ]
-        candidates = [c for c in candidates if os.path.isdir(c)]
-        assert candidates, f"no {stem}_even/_odd checkpoint under {checkpoint_path}"
-        filename_for_loading = os.path.basename(
-            max(candidates, key=lambda c: (stored_epoch(c), os.path.getmtime(c)))
-        )
-    path = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+    path = resolve_slot(checkpoint_path, filename_for_loading)
     ckptr = ocp.StandardCheckpointer()
     if abstract_payload is None:
         payload = ckptr.restore(path)

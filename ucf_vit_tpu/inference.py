@@ -29,9 +29,25 @@ from ucf_vit_tpu.train import synthetic_batches, _init_variables, example_batch
 from ucf_vit_tpu.utils.metrics import dice_metric
 
 
+
+def _params_from_payload(payload, use_ema: bool):
+    """Pick raw or EMA params from a restored checkpoint payload.
+
+    use_ema requires the checkpoint to have been trained with
+    trainer.ema_decay set (the state then carries an 'ema_params' subtree)."""
+    state = payload["state"]
+    if not use_ema:
+        return state["params"]
+    assert "ema_params" in state and state["ema_params"] is not None, (
+        "--ema requested but this checkpoint has no EMA state; train with "
+        "trainer.ema_decay set"
+    )
+    return state["ema_params"]
+
 def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
                             synthetic: bool = False,
-                            num_samples: int = 64) -> float:
+                            num_samples: int = 64,
+                            use_ema: bool = False) -> float:
     """Top-1 accuracy eval (capability-plus: the reference leaves
     validation/testing to users, `README.md:969`)."""
     from ucf_vit_tpu.utils.metrics import accuracy
@@ -53,7 +69,7 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = payload["state"]["params"]
+        params = _params_from_payload(payload, use_ema)
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
 
     @jax.jit
@@ -86,11 +102,14 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
 def evaluate(cfg, checkpoint_dir: Optional[str] = None,
              mae_checkpoint_dir: Optional[str] = None,
              synthetic: bool = False, num_samples: int = 8,
-             png_dir: Optional[str] = None, batch_size: int = 1) -> float:
+             png_dir: Optional[str] = None, batch_size: int = 1,
+             use_ema: bool = False) -> float:
     if cfg.task == "classification":
-        return evaluate_classification(cfg, checkpoint_dir, synthetic, num_samples)
+        return evaluate_classification(cfg, checkpoint_dir, synthetic,
+                                       num_samples, use_ema)
     if cfg.task == "diffusion":
-        return generate_diffusion(cfg, checkpoint_dir, num_samples, png_dir)
+        return generate_diffusion(cfg, checkpoint_dir, num_samples, png_dir,
+                                  use_ema=use_ema)
     assert cfg.task in ("unetr", "sap"), "inference CLI covers segmentation tasks"
     model, _ = build_task(cfg)
 
@@ -114,7 +133,7 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = payload["state"]["params"]
+        params = _params_from_payload(payload, use_ema)
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
     if mae_checkpoint_dir:
         payload = ckpt.restore_checkpoint(
@@ -208,7 +227,8 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
 
 def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
                        num_samples: int = 8,
-                       png_dir: Optional[str] = None) -> float:
+                       png_dir: Optional[str] = None,
+                       use_ema: bool = False) -> float:
     """Generate images from a trained DiffusionVIT via ancestral DDPM
     sampling (capability-plus: the reference trains the denoiser but ships
     no sampler, `ddpm/ddpm.py`). Returns samples/s. The full reverse chain
@@ -235,7 +255,7 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = payload["state"]["params"]
+        params = _params_from_payload(payload, use_ema)
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
 
     shape = tuple(np.asarray(ex["x"]).shape)
@@ -329,10 +349,13 @@ def main(argv=None):
     parser.add_argument("--num-samples", type=int, default=8)
     parser.add_argument("--png-dir", default=None)
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--ema", action="store_true",
+                        help="evaluate the EMA weights (trainer.ema_decay)")
     args = parser.parse_args(argv)
     cfg = load_config(args.config, task=args.task)
     evaluate(cfg, args.checkpoint, args.mae_checkpoint, args.synthetic,
-             args.num_samples, args.png_dir, args.batch_size)
+             args.num_samples, args.png_dir, args.batch_size,
+             use_ema=args.ema)
 
 
 if __name__ == "__main__":

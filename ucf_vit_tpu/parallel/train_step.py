@@ -43,6 +43,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     loss_scale: Optional[LossScaleState] = None
+    # Exponential moving average of params (trainer.ema_decay; None = off).
+    # Capability-plus over the reference: standard for MAE/diffusion
+    # pretraining, and nearly free on TPU — the update is one fused
+    # elementwise map riding the jitted step, sharded exactly like params.
+    ema_params: Any = None
 
 
 def unbox(tree):
@@ -97,6 +102,7 @@ def create_sharded_train_state(
     mesh: Mesh,
     use_grad_scaler: bool = False,
     init_scale: float = 8192.0,
+    ema: bool = False,
 ) -> Tuple[TrainState, Any]:
     """Initialize params + optimizer state directly sharded on the mesh.
 
@@ -116,6 +122,8 @@ def create_sharded_train_state(
             params=params,
             opt_state=opt_state,
             loss_scale=init_loss_scale(init_scale) if use_grad_scaler else None,
+            # boxed copy so EMA leaves inherit the params' logical shardings
+            ema_params=params if ema else None,
         )
 
     state_shapes = jax.eval_shape(make_state)
@@ -127,8 +135,13 @@ def create_sharded_train_state(
     with mesh:
         state = jax.jit(make_state, out_shardings=state_sharding)()
     # Drop metadata boxes after placement; shardings now live on the arrays.
-    state = state.replace(params=unbox(state.params))
-    state_sharding = state_sharding.replace(params=unbox(state_sharding.params))
+    state = state.replace(
+        params=unbox(state.params), ema_params=unbox(state.ema_params)
+    )
+    state_sharding = state_sharding.replace(
+        params=unbox(state_sharding.params),
+        ema_params=unbox(state_sharding.ema_params),
+    )
     return state, state_sharding
 
 
@@ -137,6 +150,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
     accum_steps: int = 1,
+    ema_decay: Optional[float] = None,
 ):
     """Build a jitted train step.
 
@@ -194,6 +208,14 @@ def make_train_step(
         )
         return g, (loss_sum / accum_steps, aux)
 
+    def ema_update(old_ema, new_params):
+        if ema_decay is None or old_ema is None:
+            return old_ema
+        d = ema_decay
+        return jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, old_ema, new_params
+        )
+
     def step_fn(state: TrainState, batch, rng):
         scale = state.loss_scale.scale if state.loss_scale is not None else None
         grads, (loss, aux) = accum_grads(state.params, batch, rng, scale)
@@ -211,17 +233,23 @@ def make_train_step(
             merge = lambda new, old: jnp.where(finite, new, old)
             new_params = jax.tree.map(merge, new_params, state.params)
             new_opt = jax.tree.map(merge, new_opt, state.opt_state)
+            new_ema = jax.tree.map(
+                merge, ema_update(state.ema_params, new_params),
+                state.ema_params,
+            )  # overflow skips the EMA tick too (params did not move)
             new_state = state.replace(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt,
                 loss_scale=new_scale,
+                ema_params=new_ema,
             )
         else:
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
-                step=state.step + 1, params=new_params, opt_state=new_opt
+                step=state.step + 1, params=new_params, opt_state=new_opt,
+                ema_params=ema_update(state.ema_params, new_params),
             )
         return new_state, loss, aux
 

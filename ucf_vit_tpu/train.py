@@ -325,10 +325,17 @@ def train(
         )
         return bool(np.asarray(flags).any())
 
+    ema_decay = trainer.get("ema_decay")
+    ema_decay = None if ema_decay is None else float(ema_decay)
+    assert ema_decay is None or 0.0 < ema_decay < 1.0, (
+        f"trainer.ema_decay must be in (0, 1), got {ema_decay}"
+    )
+
     with mesh_context(mesh):
         state, state_sharding = create_sharded_train_state(
             init_fn, tx, mesh,
             use_grad_scaler=bool(mcfg.get("use_grad_scaler", False)),
+            ema=ema_decay is not None,
         )
 
         epoch_start = 0
@@ -387,10 +394,31 @@ def train(
                 flush=True,
             )
         if trainer.get("resume_from_checkpoint", False):
+            restore_state = state
+            disk_has_ema = ckpt.state_has_key(
+                trainer["checkpoint_path"],
+                trainer["checkpoint_filename_for_loading"],
+                "ema_params",
+            )
+            if ema_decay is not None and not disk_has_ema:
+                # older checkpoint predates EMA: restore without, seed below
+                restore_state = state.replace(ema_params=None)
+            elif ema_decay is None and disk_has_ema:
+                # EMA was on when this was written; restore it (Orbax is
+                # strict about tree match) and drop it after
+                restore_state = state.replace(
+                    ema_params=jax.tree.map(lambda x: x, state.params)
+                )
+            restore_sharding = state_sharding.replace(
+                ema_params=(
+                    None if restore_state.ema_params is None
+                    else state_sharding.params
+                )
+            )
             abstract = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
-                jax.eval_shape(lambda: state),
-                state_sharding,
+                jax.eval_shape(lambda: restore_state),
+                restore_sharding,
             )
             payload = ckpt.restore_checkpoint(
                 trainer["checkpoint_path"],
@@ -400,6 +428,19 @@ def train(
                 expect_head_meta=head_meta,
             )
             state = payload["state"]
+            if ema_decay is not None and state.ema_params is None:
+                # jnp.copy: distinct buffers — params and EMA sharing one
+                # buffer breaks the train step's donate_argnums (same buffer
+                # donated twice)
+                state = state.replace(
+                    ema_params=jax.tree.map(jnp.copy, state.params)
+                )
+                print("seeded EMA from restored params (checkpoint predates "
+                      "ema_decay)", flush=True)
+            elif ema_decay is None and state.ema_params is not None:
+                state = state.replace(ema_params=None)
+                print("dropped checkpoint EMA state (ema_decay not set)",
+                      flush=True)
             epoch_start = int(payload["epoch"]) + 1
             loss_list = ckpt.loss_list_from_payload(payload)
             print(f"resumed from epoch {epoch_start - 1}", flush=True)
@@ -416,6 +457,7 @@ def train(
                 _steps[vids] = make_train_step(
                     lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v), tx,
                     accum_steps=int(trainer.get("accum_steps", 1)),
+                    ema_decay=ema_decay,
                 )
             return _steps[vids]
 
