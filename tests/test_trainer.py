@@ -182,3 +182,67 @@ def test_profiler_trace_written(tmp_path):
         found.extend(files)
     assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz")) or "xplane" in f
                for f in found), f"no trace artifacts in {pdir}: {found}"
+
+
+def test_validation_loop(tmp_path):
+    """trainer.val_every: held-out validation at epoch end — loss + aux
+    metrics land in the JSONL next to the train records (capability-plus:
+    the reference leaves validation entirely to users)."""
+    import json
+
+    import numpy as np
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["load_balancing"]["batches_per_rank_epoch"] = {"synthetic": 2}
+    mpath = str(tmp_path / "m.jsonl")
+    cfg.raw["trainer"].update({
+        "max_epochs": 2, "val_every": 1, "val_batches": 2,
+        "metrics_path": mpath, "seed": 0,
+    })
+    out = train(cfg, synthetic=True)
+    assert all(np.isfinite(v) for v in out["loss_list"])
+    recs = [json.loads(l) for l in open(mpath)]
+    vals = [r for r in recs if "val_loss" in r]
+    assert len(vals) == 2  # one per epoch
+    assert all(np.isfinite(v["val_loss"]) for v in vals)
+    assert all(v["val_batches"] == 2 for v in vals)
+    # classification aux (accuracy) rides along as val_accuracy
+    assert all("val_accuracy" in v for v in vals)
+
+
+def test_validation_requires_val_range_for_files(tmp_path):
+    import pytest
+
+    from ucf_vit_tpu.train import build_dataloader
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    with pytest.raises(AssertionError, match="val_dict_start_idx"):
+        build_dataloader(cfg, 2, synthetic=False, val_split=True)
+
+
+def test_validation_file_backed_heldout(tmp_path):
+    """File-backed validation: the val loader reads the held-out fraction
+    (data.val_dict_start_idx/val_dict_end_idx) through the real pipeline."""
+    import json
+
+    import numpy as np
+
+    from tests.test_learning import _make_ct_volumes, _unetr_yaml
+
+    data_root = str(tmp_path / "ct")
+    _make_ct_volumes(data_root, n=8)
+    raw = _unetr_yaml(data_root, str(tmp_path / "ck"))
+    raw["trainer"].update({
+        "max_epochs": 1, "val_every": 1, "val_batches": 2,
+        "metrics_path": str(tmp_path / "m.jsonl"),
+    })
+    raw["data"]["dict_end_idx"] = {"d": 0.75}
+    raw["data"]["val_dict_start_idx"] = {"d": 0.75}
+    raw["data"]["val_dict_end_idx"] = {"d": 1.0}
+    raw["load_balancing"]["batches_per_rank_epoch"] = {"d": 2}
+    cfg = Config(raw=raw, task="unetr")
+    train(cfg)
+    recs = [json.loads(l) for l in open(raw["trainer"]["metrics_path"])]
+    vals = [r for r in recs if "val_loss" in r]
+    assert len(vals) == 1 and np.isfinite(vals[0]["val_loss"])
+    assert vals[0]["val_batches"] == 2

@@ -93,15 +93,38 @@ def synthetic_batches(cfg: Config, global_batch: int, seed: int = 0) -> Iterator
 
 
 def build_dataloader(
-    cfg: Config, global_batch: int, synthetic: bool, return_qdt: bool = False
+    cfg: Config, global_batch: int, synthetic: bool, return_qdt: bool = False,
+    val_split: bool = False,
 ):
     """Returns (datamodule, synthetic_iter, batches_per_rank_epoch).
 
     return_qdt: batches additionally carry the host-side quadtree/octree
     objects (for deserializing adaptive predictions back to image space —
-    inference/visualization only, never jitted)."""
+    inference/visualization only, never jitted).
+
+    val_split: build the held-out validation loader instead — the file
+    range comes from `data.val_dict_start_idx`/`val_dict_end_idx` (e.g.
+    train 0.0-0.9, val 0.9-1.0), mirroring how the reference's users split
+    via the same fraction keys. Synthetic mode draws from a disjoint seed."""
     if synthetic:
-        return None, synthetic_batches(cfg, global_batch), None
+        return None, synthetic_batches(cfg, global_batch,
+                                       seed=12345 if val_split else 0), None
+
+    if val_split:
+        assert cfg.dataset != "catsdogs", (
+            "trainer.val_every is not supported for the catsdogs map-style "
+            "path; evaluate with the inference CLI instead"
+        )
+        assert ("val_dict_start_idx" in cfg.data
+                and "val_dict_end_idx" in cfg.data), (
+            "trainer.val_every needs data.val_dict_start_idx / "
+            "val_dict_end_idx (held-out file-range fractions)"
+        )
+        cfg = Config(raw={**cfg.raw, "data": {
+            **cfg.data,
+            "dict_start_idx": cfg.data["val_dict_start_idx"],
+            "dict_end_idx": cfg.data["val_dict_end_idx"],
+        }}, task=cfg.task)
 
     if cfg.dataset == "catsdogs":
         # map-style smoke path with a flat dir of cat.N.jpg / dog.N.jpg
@@ -274,6 +297,10 @@ def train(
         max_steps=int(mcfg.get("max_steps", 20000)),
         warmup_start_lr=float(mcfg.get("warmup_start_lr", 1e-8)),
         eta_min=float(mcfg.get("eta_min", 1e-8)),
+        max_grad_norm=(
+            float(mcfg["max_grad_norm"])
+            if mcfg.get("max_grad_norm") is not None else None
+        ),
     )
 
     # Preemption-safe shutdown (capability-plus: the reference's only
@@ -463,6 +490,56 @@ def train(
 
         step = get_step(ex["variables"])
 
+        # Mid-training validation (capability-plus: the reference leaves all
+        # validation to users, `README.md:969`): every val_every epochs, run
+        # the task loss on a held-out range with no gradient, logged next to
+        # the train metrics.
+        val_every = int(trainer.get("val_every", 0))
+        val_batches = int(trainer.get("val_batches", 8))
+        val_dm = val_synth = None
+        _eval_steps = {}
+        if val_every > 0:
+            val_dm, val_synth, _ = build_dataloader(
+                cfg, host_batch, synthetic, val_split=True
+            )
+
+        def get_eval_step(variables):
+            vids = model.get_var_ids(variables) if use_varemb else None
+            if vids not in _eval_steps:
+                _eval_steps[vids] = jax.jit(
+                    lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v)
+                )
+            return _eval_steps[vids]
+
+        def run_validation(state, rng):
+            it = val_synth if val_synth is not None else (
+                val_dm.train_dataloader(loop=True)
+            )
+            total, aux_tot, n = 0.0, {}, 0
+            for batch in it:
+                if n >= val_batches:
+                    break
+                arrays = {
+                    k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+                }
+                sbatch = shard_batch(mesh, arrays)
+                ev = get_eval_step(
+                    tuple(batch.get("variables", ex["variables"]))
+                )
+                rng, r = jax.random.split(rng)
+                out = ev(state.params, sbatch, r)
+                loss, aux = out if isinstance(out, tuple) else (out, None)
+                total += float(loss)
+                if aux:
+                    for k, v in aux.items():
+                        aux_tot[k] = aux_tot.get(k, 0.0) + float(v)
+                n += 1
+            return (
+                total / max(n, 1),
+                {k: v / max(n, 1) for k, v in aux_tot.items()},
+                n,
+            )
+
         dm, synth, bpre = build_dataloader(cfg, host_batch, synthetic)
         max_epochs = int(trainer.get("max_epochs", 1))
         if bpre is None:
@@ -627,6 +704,23 @@ def train(
                     block=False,
                     head_meta=head_meta,
                 )
+            if val_every > 0 and (epoch + 1) % val_every == 0:
+                rng, vrng = jax.random.split(rng)
+                vloss, vaux, vn = run_validation(state, vrng)
+                if jax.process_index() == 0:
+                    msg = f"epoch {epoch} val loss {vloss:.5f} ({vn} batches)"
+                    msg += "".join(
+                        f" val_{k} {v:.4f}" for k, v in vaux.items()
+                    )
+                    print(msg, flush=True)
+                    if metrics_file is not None:
+                        import json
+
+                        rec = {"epoch": epoch, "val_loss": vloss,
+                               "val_batches": vn}
+                        rec.update({f"val_{k}": v for k, v in vaux.items()})
+                        metrics_file.write(json.dumps(rec) + "\n")
+                        metrics_file.flush()
             if dm is not None:
                 dm.reset()
             if max_steps is not None and total_steps >= max_steps:
