@@ -148,6 +148,15 @@ def test_metrics_summary_tool(tmp_path):
             f.write(json.dumps({"epoch": i // 10, "it": i % 10, "step": i,
                                 "loss": 1.0 / (i + 1), "ms_per_it": 10.0 + i,
                                 "samples_per_s": 100.0}) + "\n")
+    f2 = tmp_path / "m2.jsonl"
+    with open(f2, "w") as fh:
+        fh.write(json.dumps({"epoch": 0, "loss": 1.0, "ms_per_it": 1.0,
+                             "samples_per_s": 1.0}) + "\n")
+        fh.write(json.dumps({"epoch": 0, "val_loss": 0.8, "val_batches": 2}) + "\n")
+        fh.write(json.dumps({"epoch": 1, "val_loss": 0.5, "val_batches": 2}) + "\n")
+    v = summarize(str(f2))
+    assert v["val_loss_first"] == 0.8 and v["val_loss_last"] == 0.5
+
     out = summarize(str(p))
     assert out["records"] == 20
     assert out["epochs"] == [0, 1]

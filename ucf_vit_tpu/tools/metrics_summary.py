@@ -48,6 +48,11 @@ def summarize(path: str, last: int | None = None) -> dict:
         "loss_first10pct": sum(losses[:k]) / k if losses else None,
         "loss_last10pct": sum(losses[-k:]) / k if losses else None,
     }
+    # validation records (trainer.val_every) interleave with step records
+    val = [float(r["val_loss"]) for r in recs if "val_loss" in r]
+    if val:
+        out["val_loss_first"] = val[0]
+        out["val_loss_last"] = val[-1]
     return out
 
 
