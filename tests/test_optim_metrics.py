@@ -163,3 +163,27 @@ def test_metrics_summary_tool(tmp_path):
     assert out["ms_per_it"]["p50"] >= 10.0
     assert out["loss_last10pct"] < out["loss_first10pct"]
     assert summarize(str(p), last=5)["records"] == 5
+
+
+def test_memory_report_tool():
+    """AOT HBM report: compiles the real train step against abstract inputs
+    (no device memory), and the accounting must be self-consistent — args
+    cover params+opt+batch, activations grow with batch size."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.tools.memory_report import analyze
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    r4 = analyze(cfg, batch=4)
+    r16 = analyze(cfg, batch=16)
+    for r in (r4, r16):
+        assert r["peak_hbm_bytes"] > 0
+        assert r["argument_bytes"] >= (
+            r["params_bytes"] + r["opt_state_bytes"] + r["batch_bytes"]
+        )
+    # 4x the batch -> strictly more input bytes and at least as much peak
+    assert r16["batch_bytes"] == 4 * r4["batch_bytes"]
+    assert r16["peak_hbm_bytes"] >= r4["peak_hbm_bytes"]
+    # donation aliases the state in-place; turning it off must not shrink peak
+    r4_nd = analyze(cfg, batch=4, donate=False)
+    assert r4_nd["donated_alias_bytes"] == 0
+    assert r4_nd["peak_hbm_bytes"] >= r4["peak_hbm_bytes"]
