@@ -116,6 +116,49 @@ def test_microbatcher_propagates_errors():
         mb.close()
 
 
+def test_microbatcher_pipeline_depth_1():
+    """With pipeline_depth=1 the dispatched batch is materialized one batch
+    late (or as soon as the queue idles), and every waiter still gets its
+    own row — including through a burst of sequential lone requests, where
+    the idle-queue drain must prevent a request from waiting forever."""
+
+    def run_batch(batch):
+        return batch["x"] * 2.0
+
+    mb = MicroBatcher(run_batch, max_batch=4, max_wait_ms=20.0,
+                      pipeline_depth=1)
+    try:
+        # sequential lone requests: each must return without a successor
+        for i in range(3):
+            np.testing.assert_allclose(
+                mb.submit({"x": np.full((3,), float(i))}),
+                2.0 * np.full((3,), float(i)),
+            )
+        # concurrent burst
+        outs = [None] * 6
+
+        def worker(i):
+            outs[i] = mb.submit({"x": np.full((3,), float(i))})
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(6):
+            np.testing.assert_allclose(outs[i], 2.0 * np.full((3,), float(i)))
+        assert mb.stats["requests"] == 9
+        # device-side errors surface at materialization, scoped per group
+        mb.run_batch = lambda batch: (_ for _ in ()).throw(ValueError("late"))
+        try:
+            mb.submit({"x": np.ones((3,))})
+            raise AssertionError("expected the deferred error to propagate")
+        except ValueError as e:
+            assert "late" in str(e)
+    finally:
+        mb.close()
+
+
 # ---------------------------------------------------------------------------
 # HTTP round trip == direct forward
 # ---------------------------------------------------------------------------

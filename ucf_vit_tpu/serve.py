@@ -219,8 +219,26 @@ def build_predictor(
 
     jfwd = jax.jit(fwd)
 
-    def run_batch(batch: Dict[str, np.ndarray]) -> np.ndarray:
-        return np.asarray(jfwd(params, batch))
+    # Only ship the keys this task's forward actually reads: the adaptive
+    # sample dict also carries the raw tile (`x`), which for e.g. adaptive
+    # classification is 25 MB/batch of dead transfer weight.
+    consumed = {"x"}
+    if cfg.adaptive_patching:
+        consumed = {"seq", "seq_size", "seq_pos"}
+        if task == "unetr":
+            consumed.add("x")
+    elif task == "sap":
+        consumed = {"seq", "seq_size", "seq_pos"}
+
+    def run_batch(batch: Dict[str, np.ndarray]) -> jax.Array:
+        # Explicit async device_put before dispatch: jit's implicit arg
+        # upload staged these host arrays one-by-one (measured 671 ms/batch
+        # vs 38 ms compute at ViT-B bs=32); one device_put of the filtered
+        # dict moves the same bytes in ~0.1 s and overlaps with the previous
+        # batch's compute. The batcher materializes the result one batch
+        # late, so transfer, compute, and readback all pipeline.
+        dev = jax.device_put({k: v for k, v in batch.items() if k in consumed})
+        return jfwd(params, dev)
 
     return run_batch, make_preprocessor(cfg), max_batch, (model, params)
 
@@ -268,12 +286,22 @@ class MicroBatcher:
     ``max_batch``) shares the forward. The batch is padded to exactly
     ``max_batch`` rows by repeating the last sample — padded rows are
     computed and discarded, which on an accelerator costs (almost) nothing:
-    the executable is fixed-shape either way."""
+    the executable is fixed-shape either way.
 
-    def __init__(self, run_batch, max_batch: int, max_wait_ms: float = 5.0):
+    ``pipeline_depth=1`` keeps one dispatched batch in flight: the result is
+    materialized one batch later (or immediately once the queue is idle, so
+    a lone request pays no extra latency), letting batch N+1's host->device
+    transfer overlap batch N's compute. Default 0 (serialize): measured on a
+    tunneled-TPU rig, overlap was slower (1.29 vs 0.97 s/batch) and unstable
+    under concurrent HTTP threads — enable 1 only on directly-attached
+    accelerators after measuring."""
+
+    def __init__(self, run_batch, max_batch: int, max_wait_ms: float = 5.0,
+                 pipeline_depth: int = 0):
         self.run_batch = run_batch
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
+        self.pipeline_depth = int(pipeline_depth)
         self.queue: Queue = Queue()
         self.stats = {
             "requests": 0, "batches": 0, "errors": 0,
@@ -304,10 +332,37 @@ class MicroBatcher:
         self.queue.put(_STOP)
         self._thread.join(timeout=5.0)
 
+    def _flush(self, pending):
+        """Materialize a dispatched batch and wake its waiters. Device-side
+        failures surface here (dispatch is async), scoped to this group."""
+        out_async, group = pending
+        try:
+            out = np.asarray(out_async)
+            for i, (_, ev, slot) in enumerate(group):
+                slot["out"] = out[i]
+                ev.set()
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batch_fill_sum"] += len(group)
+        except Exception as e:  # surface to every waiter in the group
+            with self._lock:
+                self.stats["errors"] += 1
+            for _, ev, slot in group:
+                slot["err"] = e
+                ev.set()
+
     def _loop(self):
+        pending = None  # the one in-flight (dispatched, unmaterialized) batch
         while True:
+            if pending is not None and self.queue.empty():
+                # idle queue: drain the pipeline now so a lone request does
+                # not wait for a successor that may never come
+                self._flush(pending)
+                pending = None
             item = self.queue.get()
             if item is _STOP:
+                if pending is not None:
+                    self._flush(pending)
                 return
             group = [item]
             deadline = time.perf_counter() + self.max_wait
@@ -331,19 +386,20 @@ class MicroBatcher:
                     # pad to the executable's fixed batch shape
                     rows += [rows[-1]] * (self.max_batch - len(rows))
                     batch[k] = np.stack(rows)
-                out = self.run_batch(batch)
-                for i, (_, ev, slot) in enumerate(group):
-                    slot["out"] = out[i]
-                    ev.set()
-                with self._lock:
-                    self.stats["batches"] += 1
-                    self.stats["batch_fill_sum"] += len(group)
-            except Exception as e:  # surface to every waiter in the group
+                out_async = self.run_batch(batch)  # non-blocking dispatch
+            except Exception as e:  # host-side (stack/shape) failure
                 with self._lock:
                     self.stats["errors"] += 1
                 for _, ev, slot in group:
                     slot["err"] = e
                     ev.set()
+                continue
+            if pending is not None:
+                self._flush(pending)  # overlaps with the batch just dispatched
+            if self.pipeline_depth > 0:
+                pending = (out_async, group)
+            else:
+                self._flush((out_async, group))
 
 
 # ---------------------------------------------------------------------------
@@ -433,6 +489,7 @@ def make_server(
     max_wait_ms: float = 5.0,
     use_ema: bool = False,
     num_generate: int = 8,
+    pipeline_depth: int = 0,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving — call ``serve_forever()``).
 
@@ -480,11 +537,19 @@ def make_server(
             (cfg.max_channels,) + tuple(cfg.tile_size[:nd])
         ).astype(np.float32)
         sample = preprocess(warm_in)
-        run_batch({k: np.stack([v] * mb) for k, v in sample.items()})
-        Handler.batcher = MicroBatcher(run_batch, mb, max_wait_ms)
+        np.asarray(run_batch({k: np.stack([v] * mb) for k, v in sample.items()}))
+        Handler.batcher = MicroBatcher(run_batch, mb, max_wait_ms,
+                                       pipeline_depth=pipeline_depth)
         Handler.preprocess = staticmethod(preprocess)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # default backlog (5) drops connections under concurrent no-keepalive
+        # clients (measured: 24/417 resets at 64 clients); deep listen queue
+        # costs nothing and the micro-batcher is the real admission control
+        request_queue_size = 128
+        daemon_threads = True
+
+    return Server((host, port), Handler)
 
 
 def main(argv=None):
@@ -502,6 +567,10 @@ def main(argv=None):
                         help="serve EMA weights when the checkpoint has them")
     parser.add_argument("--num-generate", type=int, default=8,
                         help="diffusion: samples per /v1/generate call")
+    parser.add_argument("--pipeline-depth", type=int, default=0,
+                        help="in-flight batches: 1 overlaps batch N+1's "
+                             "transfer with batch N's compute (measure "
+                             "first; see MicroBatcher docs); 0 serializes")
     args = parser.parse_args(argv)
 
     from ucf_vit_tpu.config import load_config
@@ -511,6 +580,7 @@ def main(argv=None):
         cfg, args.checkpoint, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         use_ema=args.ema, num_generate=args.num_generate,
+        pipeline_depth=args.pipeline_depth,
     )
     print(
         f"serving task={cfg.task} on {args.host}:{server.server_address[1]} "
