@@ -6,8 +6,9 @@ step itself and sweeps the batch size to find the chip's sweet spot —
 the reference hard-codes bs=2 (`configs/basic_ct/unetr/base_config.yaml`)
 with no published rationale.
 
-Usage: python benchmarks/bench_unetr_train.py [batch ...]
-       (default sweep: 2 4 8)
+Usage: python benchmarks/bench_unetr_train.py [--remat] [batch ...]
+       (default sweep: 2 4 8; --remat checkpoints blocks + conv decoder,
+        trading recompute for the activation memory that caps bs at 2)
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ STEPS = 10
 WARMUP = 2
 
 
-def bench_batch(cfg_path: str, batch: int) -> dict:
+def bench_batch(cfg_path: str, batch: int, remat: bool = False) -> dict:
     from ucf_vit_tpu.config import load_config
     from ucf_vit_tpu.parallel.train_step import (
         TrainState,
@@ -40,6 +41,8 @@ def bench_batch(cfg_path: str, batch: int) -> dict:
 
     cfg = load_config(cfg_path)
     cfg.raw["data"]["batch_size"] = batch
+    if remat:
+        cfg.raw["trainer"]["remat"] = True
     model, loss_fn = build_task(cfg)
     b = next(synthetic_batches(cfg, batch))
     arrays = {k: jnp.asarray(v) for k, v in b.items() if isinstance(v, np.ndarray)}
@@ -71,10 +74,13 @@ def bench_batch(cfg_path: str, batch: int) -> dict:
 
 def main():
     cfg_path = "configs/basic_ct/unetr/base_config.yaml"
-    batches = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
+    argv = sys.argv[1:]
+    remat = "--remat" in argv
+    batches = [int(a) for a in argv if a != "--remat"] or [2, 4, 8]
     rows = []
     for bs in batches:
-        r = bench_batch(cfg_path, bs)
+        r = bench_batch(cfg_path, bs, remat=remat)
+        r["remat"] = remat
         rows.append(r)
         print(json.dumps(r), flush=True)
     best = max(rows, key=lambda r: r["samples_per_s"])
@@ -83,6 +89,7 @@ def main():
         "value": best["samples_per_s"],
         "unit": "samples/s/chip",
         "best_batch": best["batch"],
+        "remat": remat,
         "rows": rows,
     }))
 

@@ -162,3 +162,44 @@ def test_trainer_and_inference_share_reassembly():
     assert "reassemble_sqrt_len" in src
     # no stray local reshape of seq into an image in inference
     assert ".reshape((b, c) + (side,)" not in src
+
+
+def test_unetr_decoder_remat_grads_match():
+    """trainer.remat wraps the conv decoder blocks in nn.remat (the 3D
+    decoder's activations are the OOM driver at the shipped 64^3 config —
+    BASELINE.md r3: bs>=4 fits only with remat). Remat must be a pure
+    memory/compute trade: same params pytree, same forward, gradients equal
+    up to f32 reassociation. Conv biases feeding InstanceNorm have
+    mathematically-zero gradients (the norm subtracts the mean), so both
+    sides are pure rounding noise there — those leaves are excluded by a
+    global-scale cutoff rather than compared."""
+    kw = dict(img_size=(16, 16, 16), patch_size=4, num_classes=3,
+              skip_connection=True, feature_size=4, twoD=False, **COMMON)
+    m0 = UNETR(**kw, remat=False)
+    m1 = UNETR(**kw, remat=True)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 1, 16, 16, 16)), jnp.float32)
+    y = jnp.asarray(r.integers(0, 3, size=(2, 16, 16, 16)), jnp.int32)
+
+    from ucf_vit_tpu.parallel.train_step import unbox
+
+    params = unbox(m0.init(jax.random.key(0), x)["params"])
+
+    def loss(m):
+        def f(p):
+            lse = jax.nn.log_softmax(m.apply({"params": p}, x), axis=1)
+            return -jnp.mean(jnp.take_along_axis(lse, y[:, None], axis=1))
+        return f
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss(m0)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss(m1)))(params)
+    assert np.isclose(float(l0), float(l1), rtol=0, atol=1e-6)
+    leaves0, leaves1 = jax.tree.leaves(unbox(g0)), jax.tree.leaves(unbox(g1))
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in leaves0)
+    for a, b in zip(leaves0, leaves1):
+        scale = float(jnp.max(jnp.abs(a)))
+        ad = float(jnp.max(jnp.abs(a - b)))
+        # relative term for healthy leaves; absolute floor (vs the global
+        # gradient scale) absorbs the noise-vs-noise leaves — a real remat
+        # bug produces O(scale) errors on the large leaves, far above both
+        assert ad <= 5e-4 * scale + 3e-5 * gmax, (ad, scale, gmax)

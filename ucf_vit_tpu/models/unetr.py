@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from ucf_vit_tpu.models.unet_blocks import (
@@ -73,31 +74,41 @@ class UNETR(VIT):
             )
             return
 
+        # trainer.remat also checkpoints the conv decoder: its full-resolution
+        # 3D activations, not the transformer's, are what OOM first (the
+        # shipped 64^3 config hits 16 GiB at bs>=4 with blocks-only remat);
+        # every block call here is tensor-only, so nn.remat applies directly.
+        basic_cls, prup_cls, up_cls, my_cls = (
+            (nn.remat(UnetrBasicBlock), nn.remat(UnetrPrUpBlock),
+             nn.remat(UnetrUpBlock), nn.remat(MyUnetBlock))
+            if self.remat
+            else (UnetrBasicBlock, UnetrPrUpBlock, UnetrUpBlock, MyUnetBlock)
+        )
         if self.skip_connection:
-            self.encoder1 = UnetrBasicBlock(
+            self.encoder1 = basic_cls(
                 out_channels=fs, kernel_size=3, stride=1, ndim=nd, name="encoder1"
             )
-            self.encoder2 = UnetrPrUpBlock(
+            self.encoder2 = prup_cls(
                 out_channels=fs * 2, num_layer=2, ndim=nd, name="encoder2"
             )
-            self.encoder3 = UnetrPrUpBlock(
+            self.encoder3 = prup_cls(
                 out_channels=fs * 4, num_layer=1, ndim=nd, name="encoder3"
             )
-            self.encoder4 = UnetrPrUpBlock(
+            self.encoder4 = prup_cls(
                 out_channels=fs * 8, num_layer=0, ndim=nd, name="encoder4"
             )
-            self.decoder5 = UnetrUpBlock(out_channels=fs * 8, ndim=nd, name="decoder5")
-            self.decoder4 = UnetrUpBlock(out_channels=fs * 4, ndim=nd, name="decoder4")
-            self.decoder3 = UnetrUpBlock(out_channels=fs * 2, ndim=nd, name="decoder3")
+            self.decoder5 = up_cls(out_channels=fs * 8, ndim=nd, name="decoder5")
+            self.decoder4 = up_cls(out_channels=fs * 4, ndim=nd, name="decoder4")
+            self.decoder3 = up_cls(out_channels=fs * 2, ndim=nd, name="decoder3")
             last_up = 2 if self.feat_size[0] * 16 == self.spatial_size[0] else 1
-            self.decoder2 = UnetrUpBlock(
+            self.decoder2 = up_cls(
                 out_channels=fs, upsample=last_up, ndim=nd, name="decoder2"
             )
         else:
-            self.decoder5 = MyUnetBlock(out_channels=fs * 8, ndim=nd, name="decoder5")
-            self.decoder4 = MyUnetBlock(out_channels=fs * 4, ndim=nd, name="decoder4")
-            self.decoder3 = MyUnetBlock(out_channels=fs * 2, ndim=nd, name="decoder3")
-            self.decoder2 = MyUnetBlock(out_channels=fs, ndim=nd, name="decoder2")
+            self.decoder5 = my_cls(out_channels=fs * 8, ndim=nd, name="decoder5")
+            self.decoder4 = my_cls(out_channels=fs * 4, ndim=nd, name="decoder4")
+            self.decoder3 = my_cls(out_channels=fs * 2, ndim=nd, name="decoder3")
+            self.decoder2 = my_cls(out_channels=fs, ndim=nd, name="decoder2")
         self.out = UnetOutBlock(num_classes=self.num_classes, ndim=nd, name="out")
 
     # ----------------------------------------------------------------- heads
