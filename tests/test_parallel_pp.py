@@ -1,0 +1,175 @@
+"""Pipeline parallelism (GPipe over the 'pp' mesh axis) — capability-plus:
+the reference has NO pipeline parallelism (SURVEY §2.5 lists PP as absent;
+its surface is DDP x FSDP x TP, `src/UCF_VIT/utils/misc.py:129-238`).
+
+The schedule (`parallel/pipeline.py`) must be a pure re-bracketing of the
+sequential block stack: identical forward, identical gradients up to f32
+reassociation, composing with the data/tensor axes GSPMD manages."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucf_vit_tpu.models.vit import VIT
+from ucf_vit_tpu.ops.attention import AttnImpl
+from ucf_vit_tpu.parallel.mesh import make_mesh, mesh_context, shard_batch
+from ucf_vit_tpu.parallel.pipeline import pick_microbatches
+from ucf_vit_tpu.parallel.train_step import unbox
+
+KW = dict(
+    img_size=(32, 32),
+    patch_size=8,
+    in_chans=3,
+    embed_dim=48,
+    depth=8,
+    num_heads=4,
+    num_classes=5,
+    class_token=True,
+    twoD=True,
+    default_vars=("v",),
+    attn_impl=AttnImpl.EINSUM,
+)
+
+
+def _data():
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(8, 3, 32, 32)), jnp.float32)
+    y = jnp.asarray(r.integers(0, 5, size=(8,)), jnp.int32)
+    return x, y
+
+
+def _loss(model, y):
+    def f(p, xx):
+        lse = jax.nn.log_softmax(model.apply({"params": p}, xx))
+        return -jnp.mean(jnp.take_along_axis(lse, y[:, None], 1))
+
+    return f
+
+
+def test_pick_microbatches():
+    assert pick_microbatches(8, 4, requested=4) == 4
+    with pytest.raises(AssertionError):
+        pick_microbatches(8, 4, requested=3)
+    # auto: largest divisor of batch <= 4 * pp
+    assert pick_microbatches(24, 2, 0) == 8
+    assert pick_microbatches(7, 4, 0) == 7
+    assert pick_microbatches(5, 1, 0) == 1  # 4*1=4, divisors of 5 <= 4 -> 1
+
+
+@pytest.mark.parametrize("pp,ddp,micro", [(4, 2, 4), (2, 2, 8), (8, 1, 2)])
+def test_pp_matches_sequential(pp, ddp, micro):
+    """pp x ddp pipelined ViT == the plain scan model, fwd and grad."""
+    if pp * ddp > len(jax.devices()):
+        pytest.skip("needs 8 devices")
+    x, y = _data()
+    m0 = VIT(**KW, scan_layers=True)
+    m1 = VIT(**KW, scan_layers=True, pipe_par_size=pp, pipe_microbatches=micro)
+    v = unbox(m0.init(jax.random.key(0), x)["params"])
+    y0 = m0.apply({"params": v}, x)
+    g0 = jax.grad(_loss(m0, y))(v, x)
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(g0))
+
+    mesh = make_mesh(simple_ddp_size=ddp, pipe_par_size=pp)
+    with mesh_context(mesh):
+        xs = shard_batch(mesh, x)
+        y1 = jax.jit(lambda p, xx: m1.apply({"params": p}, xx))(v, xs)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+        g1 = jax.jit(jax.grad(_loss(m1, y)))(v, xs)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * max(gmax, 1.0), (
+            float(jnp.max(jnp.abs(a - b))),
+            gmax,
+        )
+
+
+def test_pp_composes_with_tp():
+    """pp=2 x tp=2 x ddp=2: GSPMD keeps managing the tensor/data axes in
+    auto mode inside the manual-over-pp schedule."""
+    x, y = _data()
+    m0 = VIT(**KW, scan_layers=True)
+    m1 = VIT(**KW, scan_layers=True, pipe_par_size=2, pipe_microbatches=4)
+    v = unbox(m0.init(jax.random.key(0), x)["params"])
+    y0 = m0.apply({"params": v}, x)
+    mesh = make_mesh(simple_ddp_size=2, tensor_par_size=2, pipe_par_size=2)
+    with mesh_context(mesh):
+        xs = shard_batch(mesh, x)
+        y1 = jax.jit(lambda p, xx: m1.apply({"params": p}, xx))(v, xs)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+
+def test_pp_train_step_mae():
+    """Full sharded MAE train step with the encoder pipelined (pp=2 x
+    ddp=2 x fsdp=2): one step runs, loss finite and equal to the pp=1
+    step's loss (same params, same mask rng)."""
+    from ucf_vit_tpu.models import MAE
+    from ucf_vit_tpu.ops.patchify import patchify
+    from ucf_vit_tpu.parallel.train_step import (
+        create_sharded_train_state,
+        make_train_step,
+    )
+    from ucf_vit_tpu.utils.metrics import masked_mse
+    from ucf_vit_tpu.utils.optim import configure_optimizer
+
+    mae_kw = dict(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=64, depth=2,
+        num_heads=4, decoder_embed_dim=32, decoder_depth=1,
+        decoder_num_heads=4, class_token=False, default_vars=("r", "g", "b"),
+        mask_ratio=0.75, attn_impl=AttnImpl.EINSUM, scan_layers=True,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 3, 32, 32)), jnp.float32
+    )
+
+    def run(pp: int):
+        model = MAE(**mae_kw, pipe_par_size=pp, pipe_microbatches=min(pp, 2))
+        mesh = make_mesh(
+            simple_ddp_size=2, fsdp_size=4 // pp if pp > 1 else 4,
+            pipe_par_size=pp,
+        )
+
+        def loss_fn(params, batch, rng):
+            pred, mask = model.apply(
+                {"params": params}, batch["x"], rngs={"mask": rng}
+            )
+            return masked_mse(pred, patchify(batch["x"], 8, True), mask)
+
+        with mesh_context(mesh):
+            def init_fn():
+                return model.init(
+                    {"params": jax.random.key(0), "mask": jax.random.key(1)}, x
+                )
+
+            shapes = jax.eval_shape(init_fn)["params"]
+            tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2,
+                                     max_steps=10)
+            state, _ = create_sharded_train_state(init_fn, tx, mesh)
+            step = make_train_step(loss_fn, tx)
+            state, loss, _ = step(
+                state, shard_batch(mesh, {"x": x}), jax.random.key(2)
+            )
+            return float(loss)
+
+    l1 = run(1)
+    l2 = run(2)
+    assert np.isfinite(l2)
+    assert np.isclose(l1, l2, rtol=0, atol=5e-5), (l1, l2)
+
+
+def test_pp_config_asserts():
+    from tests.test_trainer import _cfg
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["parallelism"]["pipe_par_size"] = 3  # depth must divide
+    cfg.raw["model"]["net"]["init_args"]["depth"] = 4
+    with pytest.raises(AssertionError):
+        cfg.validate()
+    cfg.raw["parallelism"]["pipe_par_size"] = 2
+    cfg.validate()  # 4 % 2 == 0: fine
+
+    ucfg = _cfg("unetr", extra_data={"num_classes": 3})
+    ucfg.raw["parallelism"]["pipe_par_size"] = 2
+    ucfg.raw["model"]["net"]["init_args"]["depth"] = 4
+    ucfg.raw["model"]["net"]["init_args"]["skip_connection"] = True
+    with pytest.raises(AssertionError):
+        ucfg.validate()

@@ -101,6 +101,7 @@ class Config:
             self.data_par_size
             * int(p.get("tensor_par_size", 1))
             * int(p.get("seq_par_size", 1))
+            * int(p.get("pipe_par_size", 1))
         )
 
     @property
@@ -156,6 +157,24 @@ class Config:
         assert heads % tp == 0, "num_heads must divide by tensor_par_size"
         emb = int(self.init_args.get("embed_dim", 768))
         assert emb % heads == 0, "embed_dim must divide by num_heads"
+        pp = int(self.parallelism.get("pipe_par_size", 1))
+        if pp > 1:
+            depth = int(self.init_args.get("depth", 12))
+            assert depth % pp == 0, (
+                f"depth {depth} must divide by pipe_par_size {pp}"
+            )
+            assert int(self.parallelism.get("seq_par_size", 1)) == 1, (
+                "pipe_par_size > 1 with seq_par_size > 1 is not supported "
+                "(the pipelined schedule cannot nest the sequence-parallel "
+                "attention's own manual region)"
+            )
+            assert self.task != "unetr" or bool(
+                self.init_args.get("linear_decoder", False)
+            ) or not bool(self.init_args.get("skip_connection", True)), (
+                "pipe_par_size > 1 does not support UNETR skip connections "
+                "(forward_intermediates needs per-layer outputs, which live "
+                "on different pipeline stages)"
+            )
         sp_mode = str(self.parallelism.get("sp_mode", "auto")).lower()
         assert sp_mode in ("auto", "ulysses", "ring", "gather"), (
             f"parallelism.sp_mode must be auto|ulysses|ring|gather, got {sp_mode}"

@@ -100,6 +100,12 @@ class VIT(nn.Module):
     sqrt_len_method: bool = False
     remat: bool = False  # activation checkpointing on each Block
     scan_layers: bool = False  # lax.scan over blocks (O(1) compile in depth)
+    # GPipe pipeline parallelism over the mesh 'pp' axis (capability-plus:
+    # the reference has none). Requires scan_layers (stacked block params)
+    # and in-block dropout == 0. pipe_microbatches 0 = auto (parallel/
+    # pipeline.pick_microbatches).
+    pipe_par_size: int = 1
+    pipe_microbatches: int = 0
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
     # tanh-approx GELU is the TPU perf default (~40% cheaper on the VPU);
     # the reference uses exact erf (torch nn.GELU) — set
@@ -312,6 +318,21 @@ class VIT(nn.Module):
             gelu_approx=self.gelu_approx,
             seg_len=self._block_seg_len(),
         )
+        if self.pipe_par_size > 1:
+            assert self.scan_layers, (
+                "pipe_par_size > 1 requires scan_layers (block params must "
+                "be stacked [depth, ...] so stages shard over the pp axis)"
+            )
+            assert self.depth % self.pipe_par_size == 0, (
+                f"depth {self.depth} not divisible by pipe_par_size "
+                f"{self.pipe_par_size}"
+            )
+            assert self.proj_drop_rate == 0.0 and self.attn_drop_rate == 0.0, (
+                "pipe_par_size > 1 runs blocks as a pure pipelined schedule "
+                "(no per-layer rng threading); in-block dropout must be 0"
+            )
+            # the pipeline applies a detached Block purely per layer slice
+            self._pipe_block_kwargs = dict(block_kwargs)
         if self.scan_layers:
             # lax.scan over one stacked Block: compile time O(1) in depth —
             # the big-model pattern the reference cannot express with its
@@ -453,12 +474,46 @@ class VIT(nn.Module):
         return None
 
     def run_blocks(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        # during init the sequential scan path must run so blocks_scan
+        # CREATES its (stacked) params; the pipeline only reads them
+        if self.pipe_par_size > 1 and not self.is_initializing():
+            return self._run_blocks_pipelined(x)
         if self.scan_layers:
             x, _ = self.blocks_scan(x, deterministic)
             return x
         for blk in self.blocks:
             x = blk(x, deterministic)
         return x
+
+    def _run_blocks_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
+        """GPipe over the mesh 'pp' axis (parallel/pipeline.py). The
+        scan-stacked block params are read off the bound submodule and each
+        layer slice is applied through a detached (pure) Block — gradients
+        flow because `.variables` returns the live traced arrays."""
+        from flax.core import meta as flax_meta
+
+        from ucf_vit_tpu.ops.attention import _active_mesh
+        from ucf_vit_tpu.parallel.pipeline import pipeline_blocks
+
+        stacked = flax_meta.unbox(self.blocks_scan.variables["params"])[
+            "block"
+        ]
+        # parent=None detaches the instance from the bound-module context:
+        # it declares no params here — it is only a pure applier for the
+        # layer slices read off blocks_scan above
+        blk = Block(drop_path=0.0, parent=None, **self._pipe_block_kwargs)
+
+        def apply_layer(p, t):
+            return blk.apply({"params": p}, t, True)
+
+        return pipeline_blocks(
+            apply_layer,
+            stacked,
+            x,
+            mesh=_active_mesh(),
+            pp_size=self.pipe_par_size,
+            num_microbatches=self.pipe_microbatches,
+        )
 
     def forward_features(
         self,
@@ -486,6 +541,10 @@ class VIT(nn.Module):
         parity with reference `simple/arch.py:995-1086`.
         """
         take = list(indices or [])
+        assert self.pipe_par_size == 1, (
+            "forward_intermediates (UNETR skip connections) is not supported "
+            "with pipe_par_size > 1 — intermediates live on different stages"
+        )
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
         if self.scan_layers:

@@ -17,8 +17,10 @@ All impls take/return [B, H, N, dh] and are numerically interchangeable
 
 from __future__ import annotations
 
+import contextlib
 import enum
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +147,28 @@ def _active_mesh():
         return None
 
 
+_LOCAL_ONLY = threading.local()
+
+
+def _local_only() -> bool:
+    return getattr(_LOCAL_ONLY, "flag", False)
+
+
+@contextlib.contextmanager
+def local_attention_only():
+    """Force per-shard (non-shard_map) attention while tracing code that is
+    ALREADY inside a manual region — e.g. the pipeline-parallel schedule
+    (`parallel/pipeline.py`), where a nested shard_map over the full mesh
+    would be rejected. The direct Pallas kernel is legal inside shard_map;
+    only the wrapper's own shard_map is not."""
+    prev = _local_only()
+    _LOCAL_ONLY.flag = True
+    try:
+        yield
+    finally:
+        _LOCAL_ONLY.flag = prev
+
+
 def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     """Flash attention under a mesh via shard_map.
 
@@ -256,7 +280,11 @@ def multi_head_attention(
 
     if impl == AttnImpl.FLASH:
         mesh = _active_mesh()
-        if mesh is not None and len(mesh.devices.flat) > 1:
+        if (
+            mesh is not None
+            and len(mesh.devices.flat) > 1
+            and not _local_only()
+        ):
             return _sharded_flash(q, k, v, sm_scale, mesh, interpret)
         return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
     if impl == AttnImpl.XLA:

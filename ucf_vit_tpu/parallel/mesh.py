@@ -13,6 +13,8 @@ TPU-native replacement for the reference's process-group machinery:
   'tp' by construction.
 
 Axis semantics (reference parallelism config keys map 1:1):
+  pp   — pipe_par_size     (GPipe pipeline stages — capability-plus: the
+                            reference has no pipeline parallelism at all)
   ddp  — simple_ddp_size   (replica / HYBRID_SHARD outer axis)
   fsdp — fsdp_size         (parameter-sharding axis, ZeRO-3 style)
   sp   — seq_par_size      (sequence parallelism — real here, asserted ==1 in
@@ -21,7 +23,9 @@ Axis semantics (reference parallelism config keys map 1:1):
 
 tp is the innermost (fastest-varying) mesh dim so TP collectives ride
 neighboring ICI links, matching the reference's contiguous-rank TP groups
-(`misc.py:133-142`).
+(`misc.py:133-142`); pp is outermost — its neighbor-only ppermute is the
+lowest-bandwidth collective here and the natural one to cross slice (DCN)
+boundaries on multi-slice topologies.
 """
 
 from __future__ import annotations
@@ -32,11 +36,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+AXIS_PP = "pp"
 AXIS_DDP = "ddp"
 AXIS_FSDP = "fsdp"
 AXIS_SP = "sp"
 AXIS_TP = "tp"
-MESH_AXES = (AXIS_DDP, AXIS_FSDP, AXIS_SP, AXIS_TP)
+MESH_AXES = (AXIS_PP, AXIS_DDP, AXIS_FSDP, AXIS_SP, AXIS_TP)
 
 # Batch is data-parallel over both ddp and fsdp (reference:
 # data_par_size = fsdp_size * simple_ddp_size, `train_masked_fsdp.py:219`).
@@ -51,6 +56,7 @@ LOGICAL_RULES = (
     ("seq", AXIS_SP),
     ("heads", AXIS_TP),
     # parameters
+    ("layers", AXIS_PP),  # scan-stacked Block params: one stage per pp rank
     ("embed", AXIS_FSDP),  # ZeRO-3-style param sharding on the fsdp axis
     ("mlp", AXIS_TP),  # fc1 column-parallel (fsdp/building_blocks.py:123)
     ("qkv", AXIS_TP),  # qkv column-parallel (fsdp/building_blocks.py:169)
@@ -66,34 +72,44 @@ def make_mesh(
     fsdp_size: int = 1,
     seq_par_size: int = 1,
     tensor_par_size: int = 1,
+    pipe_par_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build the 4-axis mesh from the reference parallelism config keys."""
+    """Build the 5-axis mesh from the reference parallelism config keys."""
     if devices is None:
         devices = jax.devices()
-    world = simple_ddp_size * fsdp_size * seq_par_size * tensor_par_size
+    world = (
+        pipe_par_size
+        * simple_ddp_size
+        * fsdp_size
+        * seq_par_size
+        * tensor_par_size
+    )
     if world < len(devices):
         # a smaller-than-host config (e.g. a 1-device smoke run on an
         # 8-device host) uses the first `world` devices
         devices = devices[:world]
     assert world == len(devices), (
-        f"world size {world} (= ddp {simple_ddp_size} x fsdp {fsdp_size} x "
-        f"sp {seq_par_size} x tp {tensor_par_size}) != #devices {len(devices)}"
+        f"world size {world} (= pp {pipe_par_size} x ddp {simple_ddp_size} x "
+        f"fsdp {fsdp_size} x sp {seq_par_size} x tp {tensor_par_size}) "
+        f"!= #devices {len(devices)}"
     )
     arr = np.asarray(devices).reshape(
-        simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size
+        pipe_par_size, simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size
     )
     return Mesh(arr, MESH_AXES)
 
 
 def mesh_from_config(parallelism: dict, devices=None) -> Mesh:
     """Reference YAML `parallelism:` section -> Mesh. Keys:
-    simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size."""
+    simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size,
+    pipe_par_size (capability-plus)."""
     return make_mesh(
         simple_ddp_size=int(parallelism.get("simple_ddp_size", 1)),
         fsdp_size=int(parallelism.get("fsdp_size", 1)),
         seq_par_size=int(parallelism.get("seq_par_size", 1)),
         tensor_par_size=int(parallelism.get("tensor_par_size", 1)),
+        pipe_par_size=int(parallelism.get("pipe_par_size", 1)),
         devices=devices,
     )
 

@@ -1,0 +1,148 @@
+"""GPipe-style pipeline parallelism over a 'pp' mesh axis.
+
+Capability-plus over the reference, which has no pipeline parallelism at all
+(SURVEY §2.5: "PP / EP / CP — absent entirely"; its parallelism surface is
+DDP x FSDP x TP, `src/UCF_VIT/utils/misc.py:129-238`). PP is how transformer
+depth scales past one chip's HBM once FSDP gather bandwidth becomes the
+bottleneck — the regime the reference's README gestures at ("hundreds of
+billions of parameters") without a mechanism.
+
+TPU-native formulation (no NCCL groups, no per-stage processes):
+
+- The transformer stack's parameters are already stacked [depth, ...] by
+  `scan_layers` (nn.scan with PARTITION_NAME "layers"); the logical rule
+  ("layers", "pp") shards that leading axis over the pipeline stages, so
+  each stage's weights LIVE on its devices — there is no weight movement.
+- The schedule runs inside one `jax.shard_map` that is manual over ONLY the
+  'pp' axis (`axis_names={"pp"}`): data/tensor axes stay in GSPMD "auto"
+  mode, so pp composes with ddp/fsdp sharding without any code here knowing
+  about them.
+- Stage-to-stage activation transfer is a single `lax.ppermute` per tick —
+  the neighbor-only collective the hardware's ICI torus is best at.
+- The whole schedule is a `lax.scan` over ticks (static trip count
+  M + S - 1), so it traces once and XLA pipelines the permutes against the
+  stage compute. jax's varying-mesh-axes tracking differentiates through
+  the schedule, giving the standard GPipe backward (reverse tick order)
+  with per-tick rematerialization via `jax.checkpoint`.
+
+Bubble accounting: each of the S stages is idle for (S-1) of the
+(M + S - 1) ticks, so utilization = M / (M + S - 1). Raise
+`pipe_microbatches` to amortize (GPipe's M >> S rule).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ucf_vit_tpu.parallel.mesh import AXIS_PP
+
+
+def pick_microbatches(batch: int, pp_size: int, requested: int = 0) -> int:
+    """Microbatch count for the schedule. Explicit `requested` wins (must
+    divide the batch); otherwise the largest divisor of `batch` that is
+    <= 4 * pp_size (bubble fraction <= (S-1)/(4S) ~ 20%)."""
+    if requested > 0:
+        assert batch % requested == 0, (
+            f"pipe_microbatches {requested} does not divide batch {batch}"
+        )
+        return requested
+    best = 1
+    for m in range(1, min(batch, 4 * pp_size) + 1):
+        if batch % m == 0:
+            best = m
+    return best
+
+
+def pipeline_blocks(
+    apply_layer: Callable,
+    stacked_params,
+    x: jnp.ndarray,
+    *,
+    mesh,
+    pp_size: int,
+    num_microbatches: int = 0,
+    axis: str = AXIS_PP,
+):
+    """Run a stacked layer sequence as a GPipe pipeline over `axis`.
+
+    apply_layer(layer_params, x) -> x : ONE block, pure (dropout-free).
+    stacked_params: pytree whose leaves have leading axis `depth`
+        (depth % pp_size == 0); sharded (or shardable) over `axis` on dim 0.
+    x: [B, ...] activations, replicated over `axis` (other mesh axes free).
+    """
+    assert mesh is not None and axis in mesh.axis_names, (
+        f"pipe_par_size > 1 needs a mesh with a '{axis}' axis — build it via "
+        f"parallel.mesh.make_mesh(pipe_par_size=...)"
+    )
+    s_mesh = mesh.shape[axis]
+    assert s_mesh == pp_size, (
+        f"mesh '{axis}' size {s_mesh} != model pipe_par_size {pp_size}"
+    )
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert depth % pp_size == 0, (
+        f"depth {depth} not divisible by pipe_par_size {pp_size}"
+    )
+    b = x.shape[0]
+    m = pick_microbatches(b, pp_size, num_microbatches)
+    s = pp_size
+    xm = x.reshape((m, b // m) + x.shape[1:])
+
+    def schedule(local_params, xm):
+        stage = lax.axis_index(axis)
+        ticks = m + s - 1
+
+        def stage_apply(xi):
+            def body(c, p):
+                return apply_layer(p, c), None
+
+            c, _ = lax.scan(body, xi, local_params)
+            return c
+
+        # carries start stage-invariant (zeros) but become stage-varying:
+        # declare that to jax's varying-mesh-axes tracking up front
+        buf = lax.pcast(jnp.zeros_like(xm), (axis,), to="varying")
+        carry = lax.pcast(
+            jnp.zeros(xm.shape[1:], xm.dtype), (axis,), to="varying"
+        )
+
+        def tick(state, t):
+            carry, buf = state
+            mb = t - stage  # microbatch this stage works on (may be bubble)
+            inp0 = lax.dynamic_index_in_dim(
+                xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
+            )
+            x_in = jnp.where(stage == 0, inp0, carry)
+            y = jax.checkpoint(stage_apply)(x_in)
+            nxt = lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)])
+            valid = (mb >= 0) & (mb < m) & (stage == s - 1)
+            wi = jnp.clip(mb, 0, m - 1)
+            cur = lax.dynamic_index_in_dim(buf, wi, 0, keepdims=False)
+            buf = lax.dynamic_update_index_in_dim(
+                buf, jnp.where(valid, y, cur), wi, 0
+            )
+            return (carry if s == 1 else nxt, buf), None
+
+        (carry, buf), _ = lax.scan(tick, (carry, buf), jnp.arange(ticks))
+        # only the last stage holds real outputs; make them stage-replicated
+        return lax.psum(
+            jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)), axis
+        )
+
+    from ucf_vit_tpu.ops.attention import local_attention_only
+
+    # the body is already a manual region: attention inside must use its
+    # direct (per-shard) paths, not its own full-mesh shard_map wrapper
+    with local_attention_only():
+        ym = jax.shard_map(
+            schedule,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+            axis_names={axis},
+        )(stacked_params, xm)
+    return ym.reshape(x.shape)

@@ -70,7 +70,13 @@ def _common_kwargs(cfg: Config) -> dict:
         # restores the reference's exact erf (torch nn.GELU) numerics
         gelu_approx=bool(ia.get("gelu_approx", True)),
         remat=bool(cfg.trainer.get("remat", cfg.parallelism.get("fsdp_size", 1) > 1)),
-        scan_layers=bool(cfg.trainer.get("scan_layers", ia.get("scan_layers", False))),
+        scan_layers=bool(
+            cfg.trainer.get("scan_layers", ia.get("scan_layers", False))
+            # pipelining needs the stacked-params layout scan provides
+            or int(cfg.parallelism.get("pipe_par_size", 1)) > 1
+        ),
+        pipe_par_size=int(cfg.parallelism.get("pipe_par_size", 1)),
+        pipe_microbatches=int(cfg.parallelism.get("pipe_microbatches", 0)),
         dtype=jnp.bfloat16 if cfg.trainer.get("data_type") == "bfloat16" else None,
     )
 
