@@ -99,9 +99,10 @@ def test_pp_composes_with_tp():
 
 
 def test_pp_train_step_mae():
-    """Full sharded MAE train step with the encoder pipelined (pp=2 x
-    ddp=2 x fsdp=2): one step runs, loss finite and equal to the pp=1
-    step's loss (same params, same mask rng)."""
+    """Full sharded MAE train step with BOTH the encoder and decoder stacks
+    pipelined (pp=2 x ddp=2 x fsdp=2): the pp=2 loss must equal the pp=1
+    loss on the SAME weights (the pp model's stacked decoder params are
+    transplanted from the pp=1 model's per-layer decoder params)."""
     from ucf_vit_tpu.models import MAE
     from ucf_vit_tpu.ops.patchify import patchify
     from ucf_vit_tpu.parallel.train_step import (
@@ -113,45 +114,62 @@ def test_pp_train_step_mae():
 
     mae_kw = dict(
         img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=64, depth=2,
-        num_heads=4, decoder_embed_dim=32, decoder_depth=1,
+        num_heads=4, decoder_embed_dim=32, decoder_depth=2,
         decoder_num_heads=4, class_token=False, default_vars=("r", "g", "b"),
         mask_ratio=0.75, attn_impl=AttnImpl.EINSUM, scan_layers=True,
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(8, 3, 32, 32)), jnp.float32
     )
+    m1 = MAE(**mae_kw)
+    m2 = MAE(**mae_kw, pipe_par_size=2, pipe_microbatches=2)
+    v1 = unbox(
+        m1.init({"params": jax.random.key(0), "mask": jax.random.key(1)}, x)[
+            "params"
+        ]
+    )
+    # per-layer decoder_blocks_i -> stacked decoder_blocks/block
+    n_dec = mae_kw["decoder_depth"]
+    layers = [v1[f"decoder_blocks_{i}"] for i in range(n_dec)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+    v2 = {k: v for k, v in v1.items() if not k.startswith("decoder_blocks_")}
+    v2["decoder_blocks"] = {"block": stacked}
 
-    def run(pp: int):
-        model = MAE(**mae_kw, pipe_par_size=pp, pipe_microbatches=min(pp, 2))
-        mesh = make_mesh(
-            simple_ddp_size=2, fsdp_size=4 // pp if pp > 1 else 4,
-            pipe_par_size=pp,
-        )
-
+    def make_loss(model):
         def loss_fn(params, batch, rng):
             pred, mask = model.apply(
                 {"params": params}, batch["x"], rngs={"mask": rng}
             )
             return masked_mse(pred, patchify(batch["x"], 8, True), mask)
 
-        with mesh_context(mesh):
-            def init_fn():
-                return model.init(
-                    {"params": jax.random.key(0), "mask": jax.random.key(1)}, x
-                )
+        return loss_fn
 
-            shapes = jax.eval_shape(init_fn)["params"]
-            tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2,
-                                     max_steps=10)
-            state, _ = create_sharded_train_state(init_fn, tx, mesh)
-            step = make_train_step(loss_fn, tx)
-            state, loss, _ = step(
-                state, shard_batch(mesh, {"x": x}), jax.random.key(2)
+    l1 = float(make_loss(m1)(v1, {"x": x}, jax.random.key(2)))
+
+    mesh = make_mesh(simple_ddp_size=2, fsdp_size=2, pipe_par_size=2)
+    with mesh_context(mesh):
+        def init_fn():
+            return m2.init(
+                {"params": jax.random.key(0), "mask": jax.random.key(1)}, x
             )
-            return float(loss)
 
-    l1 = run(1)
-    l2 = run(2)
+        shapes = jax.eval_shape(init_fn)["params"]
+        tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+        state, _ = create_sharded_train_state(init_fn, tx, mesh)
+        # overwrite the fresh init with the transplanted pp=1 weights,
+        # keeping the mesh shardings the state was created with
+        state = state.replace(
+            params=jax.tree.map(
+                lambda tgt, src: jax.device_put(src, tgt.sharding),
+                state.params,
+                v2,
+            )
+        )
+        step = make_train_step(make_loss(m2), tx)
+        state, loss, _ = step(
+            state, shard_batch(mesh, {"x": x}), jax.random.key(2)
+        )
+        l2 = float(loss)
     assert np.isfinite(l2)
     assert np.isclose(l1, l2, rtol=0, atol=5e-5), (l1, l2)
 

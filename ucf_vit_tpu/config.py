@@ -163,6 +163,16 @@ class Config:
             assert depth % pp == 0, (
                 f"depth {depth} must divide by pipe_par_size {pp}"
             )
+            if self.task == "mae" and not bool(
+                self.init_args.get("linear_decoder", False)
+            ):
+                # the MAE decoder stack is pipelined too (DiffusionVIT's
+                # smaller decoder stays replicated across stages — correct,
+                # just not pipelined)
+                dd = int(self.init_args.get("decoder_depth", 8))
+                assert dd % pp == 0, (
+                    f"decoder_depth {dd} must divide by pipe_par_size {pp}"
+                )
             assert int(self.parallelism.get("seq_par_size", 1)) == 1, (
                 "pipe_par_size > 1 with seq_par_size > 1 is not supported "
                 "(the pipelined schedule cannot nest the sequence-parallel "

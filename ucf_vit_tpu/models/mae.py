@@ -129,24 +129,52 @@ class MAE(VIT):
             block_cls = Block
             if self.remat:
                 block_cls = nn.remat(Block, static_argnums=(1,))
-            self.decoder_blocks = [
-                block_cls(
-                    dim=self.decoder_embed_dim,
-                    num_heads=self.decoder_num_heads,
-                    attn_impl=self.attn_impl,
-                    mlp_ratio=self.mlp_ratio_decoder,
-                    qkv_bias=self.qkv_bias,
-                    qk_norm=self.qk_norm,
-                    init_values=self.init_values,
-                    proj_drop=self.proj_drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path=float(dpr[i]),
-                    dtype=self.dtype,
-                    gelu_approx=self.gelu_approx,
-                    name=f"decoder_blocks_{i}",
+            dec_kwargs = dict(
+                dim=self.decoder_embed_dim,
+                num_heads=self.decoder_num_heads,
+                attn_impl=self.attn_impl,
+                mlp_ratio=self.mlp_ratio_decoder,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                init_values=self.init_values,
+                proj_drop=self.proj_drop_rate,
+                attn_drop=self.attn_drop_rate,
+                dtype=self.dtype,
+                gelu_approx=self.gelu_approx,
+            )
+            if self.pipe_par_size > 1:
+                # pipeline the decoder stack too — otherwise every pp stage
+                # would recompute it redundantly. Stacked-params layout only
+                # under pp so non-pp checkpoints keep the per-layer names.
+                from ucf_vit_tpu.models.vit import _ScanBlockBody
+
+                assert self.decoder_depth % self.pipe_par_size == 0, (
+                    f"decoder_depth {self.decoder_depth} not divisible by "
+                    f"pipe_par_size {self.pipe_par_size}"
                 )
-                for i in range(self.decoder_depth)
-            ]
+                self._pipe_dec_kwargs = dict(dec_kwargs)
+                self.decoder_blocks_scan = nn.scan(
+                    _ScanBlockBody,
+                    length=self.decoder_depth,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast,),
+                    metadata_params={nn.PARTITION_NAME: "layers"},
+                )(
+                    block_cls=block_cls,
+                    block_kwargs=dec_kwargs,
+                    name="decoder_blocks",
+                )
+                self.decoder_blocks = None
+            else:
+                self.decoder_blocks = [
+                    block_cls(
+                        drop_path=float(dpr[i]),
+                        name=f"decoder_blocks_{i}",
+                        **dec_kwargs,
+                    )
+                    for i in range(self.decoder_depth)
+                ]
 
     # ------------------------------------------------------------------ mask
 
@@ -199,10 +227,41 @@ class MAE(VIT):
         else:
             pos = self.decoder_pos_embed
         x = x + pos
-        for blk in self.decoder_blocks:
-            x = blk(x, deterministic)
+        if self.pipe_par_size > 1:
+            if self.is_initializing():
+                x, _ = self.decoder_blocks_scan(x, deterministic)
+            else:
+                x = self._run_decoder_pipelined(x)
+        else:
+            for blk in self.decoder_blocks:
+                x = blk(x, deterministic)
         x = self.decoder_norm(x)
         return self.decoder_pred(x)
+
+    def _run_decoder_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
+        """GPipe over the decoder stack — same machinery as the encoder
+        (`VIT._run_blocks_pipelined`)."""
+        from flax.core import meta as flax_meta
+
+        from ucf_vit_tpu.ops.attention import _active_mesh
+        from ucf_vit_tpu.parallel.pipeline import pipeline_blocks
+
+        stacked = flax_meta.unbox(
+            self.decoder_blocks_scan.variables["params"]
+        )["block"]
+        blk = Block(drop_path=0.0, parent=None, **self._pipe_dec_kwargs)
+
+        def apply_layer(p, t):
+            return blk.apply({"params": p}, t, True)
+
+        return pipeline_blocks(
+            apply_layer,
+            stacked,
+            x,
+            mesh=_active_mesh(),
+            pp_size=self.pipe_par_size,
+            num_microbatches=self.pipe_microbatches,
+        )
 
     # --------------------------------------------------------------- forward
 
