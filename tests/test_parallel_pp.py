@@ -191,3 +191,35 @@ def test_pp_config_asserts():
     ucfg.raw["model"]["net"]["init_args"]["skip_connection"] = True
     with pytest.raises(AssertionError):
         ucfg.validate()
+
+
+def test_pp_diffusion_decoder():
+    """DiffusionVIT's decoder stack is pipelined too: pp=2 forward equals
+    the sequential model on transplanted weights."""
+    from ucf_vit_tpu.models import DiffusionVIT
+
+    kw = dict(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=64, depth=2,
+        num_heads=4, decoder_embed_dim=32, decoder_depth=2,
+        decoder_num_heads=4, class_token=False, default_vars=("r", "g", "b"),
+        time_steps=10, attn_impl=AttnImpl.EINSUM, scan_layers=True,
+    )
+    m1 = DiffusionVIT(**kw)
+    m2 = DiffusionVIT(**kw, pipe_par_size=2, pipe_microbatches=2)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(4, 3, 32, 32)), jnp.float32)
+    t = jnp.asarray(r.integers(0, 10, size=(4,)), jnp.int32)
+    v1 = unbox(m1.init({"params": jax.random.key(0)}, x, t)["params"])
+    layers = [v1[f"decoder_blocks_{i}"] for i in range(2)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+    v2 = {k: v for k, v in v1.items() if not k.startswith("decoder_blocks_")}
+    v2["decoder_blocks"] = {"block": stacked}
+
+    y1 = m1.apply({"params": v1}, x, t)
+    mesh = make_mesh(simple_ddp_size=2, fsdp_size=2, pipe_par_size=2)
+    with mesh_context(mesh):
+        xs = shard_batch(mesh, x)
+        y2 = jax.jit(lambda p, xx, tt: m2.apply({"params": p}, xx, tt))(
+            v2, xs, t
+        )
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)

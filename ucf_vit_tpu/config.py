@@ -163,12 +163,10 @@ class Config:
             assert depth % pp == 0, (
                 f"depth {depth} must divide by pipe_par_size {pp}"
             )
-            if self.task == "mae" and not bool(
+            if self.task in ("mae", "diffusion") and not bool(
                 self.init_args.get("linear_decoder", False)
             ):
-                # the MAE decoder stack is pipelined too (DiffusionVIT's
-                # smaller decoder stays replicated across stages — correct,
-                # just not pipelined)
+                # the MAE/DiffusionVIT decoder stacks are pipelined too
                 dd = int(self.init_args.get("decoder_depth", 8))
                 assert dd % pp == 0, (
                     f"decoder_depth {dd} must divide by pipe_par_size {pp}"

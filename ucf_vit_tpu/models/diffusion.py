@@ -93,24 +93,52 @@ class DiffusionVIT(VIT):
             block_cls = Block
             if self.remat:
                 block_cls = nn.remat(Block, static_argnums=(1,))
-            self.decoder_blocks = [
-                block_cls(
-                    dim=self.decoder_embed_dim,
-                    num_heads=self.decoder_num_heads,
-                    attn_impl=self.attn_impl,
-                    mlp_ratio=self.mlp_ratio_decoder,
-                    qkv_bias=self.qkv_bias,
-                    qk_norm=self.qk_norm,
-                    init_values=self.init_values,
-                    proj_drop=self.proj_drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path=float(dpr[i]),
-                    dtype=self.dtype,
-                    gelu_approx=self.gelu_approx,
-                    name=f"decoder_blocks_{i}",
+            dec_kwargs = dict(
+                dim=self.decoder_embed_dim,
+                num_heads=self.decoder_num_heads,
+                attn_impl=self.attn_impl,
+                mlp_ratio=self.mlp_ratio_decoder,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                init_values=self.init_values,
+                proj_drop=self.proj_drop_rate,
+                attn_drop=self.attn_drop_rate,
+                dtype=self.dtype,
+                gelu_approx=self.gelu_approx,
+            )
+            if self.pipe_par_size > 1:
+                # same stacked-under-pp-only layout as the MAE decoder
+                # (models/mae.py): stages hold their slice, non-pp
+                # checkpoints keep per-layer names
+                from ucf_vit_tpu.models.vit import _ScanBlockBody
+
+                assert self.decoder_depth % self.pipe_par_size == 0, (
+                    f"decoder_depth {self.decoder_depth} not divisible by "
+                    f"pipe_par_size {self.pipe_par_size}"
                 )
-                for i in range(self.decoder_depth)
-            ]
+                self._pipe_dec_kwargs = dict(dec_kwargs)
+                self.decoder_blocks_scan = nn.scan(
+                    _ScanBlockBody,
+                    length=self.decoder_depth,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast,),
+                    metadata_params={nn.PARTITION_NAME: "layers"},
+                )(
+                    block_cls=block_cls,
+                    block_kwargs=dec_kwargs,
+                    name="decoder_blocks",
+                )
+                self.decoder_blocks = None
+            else:
+                self.decoder_blocks = [
+                    block_cls(
+                        drop_path=float(dpr[i]),
+                        name=f"decoder_blocks_{i}",
+                        **dec_kwargs,
+                    )
+                    for i in range(self.decoder_depth)
+                ]
 
     # --------------------------------------------------------------- forward
 
@@ -139,8 +167,22 @@ class DiffusionVIT(VIT):
         if not self.linear_decoder:
             x = self.decoder_embed(x)
             x = x + self.decoder_pos_embed
-            for blk in self.decoder_blocks:
-                x = blk(x, deterministic)
+            if self.pipe_par_size > 1:
+                if self.is_initializing():
+                    x, _ = self.decoder_blocks_scan(x, deterministic)
+                else:
+                    from ucf_vit_tpu.models.vit import run_pipelined_stack
+
+                    x = run_pipelined_stack(
+                        self.decoder_blocks_scan,
+                        self._pipe_dec_kwargs,
+                        self.pipe_par_size,
+                        self.pipe_microbatches,
+                        x,
+                    )
+            else:
+                for blk in self.decoder_blocks:
+                    x = blk(x, deterministic)
             x = self.decoder_norm(x)
         return self.decoder_pred(x)
 

@@ -239,28 +239,15 @@ class MAE(VIT):
         return self.decoder_pred(x)
 
     def _run_decoder_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
-        """GPipe over the decoder stack — same machinery as the encoder
-        (`VIT._run_blocks_pipelined`)."""
-        from flax.core import meta as flax_meta
+        """GPipe over the decoder stack — same machinery as the encoder."""
+        from ucf_vit_tpu.models.vit import run_pipelined_stack
 
-        from ucf_vit_tpu.ops.attention import _active_mesh
-        from ucf_vit_tpu.parallel.pipeline import pipeline_blocks
-
-        stacked = flax_meta.unbox(
-            self.decoder_blocks_scan.variables["params"]
-        )["block"]
-        blk = Block(drop_path=0.0, parent=None, **self._pipe_dec_kwargs)
-
-        def apply_layer(p, t):
-            return blk.apply({"params": p}, t, True)
-
-        return pipeline_blocks(
-            apply_layer,
-            stacked,
+        return run_pipelined_stack(
+            self.decoder_blocks_scan,
+            self._pipe_dec_kwargs,
+            self.pipe_par_size,
+            self.pipe_microbatches,
             x,
-            mesh=_active_mesh(),
-            pp_size=self.pipe_par_size,
-            num_microbatches=self.pipe_microbatches,
         )
 
     # --------------------------------------------------------------- forward

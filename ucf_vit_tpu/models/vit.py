@@ -58,6 +58,37 @@ class _ScanBlockBody(nn.Module):
         return x, x
 
 
+def run_pipelined_stack(
+    scan_module, block_kwargs: dict, pipe_par_size: int,
+    pipe_microbatches: int, x: jnp.ndarray,
+) -> jnp.ndarray:
+    """GPipe a scan-stacked Block sequence over the mesh 'pp' axis
+    (parallel/pipeline.py) — shared by the encoder and the MAE/diffusion
+    decoder stacks. The stacked params are read off the BOUND nn.scan
+    submodule (gradients flow: `.variables` returns the live traced
+    arrays) and each layer slice is applied through a detached pure Block
+    (parent=None: declares no params, it is only an applier)."""
+    from flax.core import meta as flax_meta
+
+    from ucf_vit_tpu.ops.attention import _active_mesh
+    from ucf_vit_tpu.parallel.pipeline import pipeline_blocks
+
+    stacked = flax_meta.unbox(scan_module.variables["params"])["block"]
+    blk = Block(drop_path=0.0, parent=None, **block_kwargs)
+
+    def apply_layer(p, t):
+        return blk.apply({"params": p}, t, True)
+
+    return pipeline_blocks(
+        apply_layer,
+        stacked,
+        x,
+        mesh=_active_mesh(),
+        pp_size=pipe_par_size,
+        num_microbatches=pipe_microbatches,
+    )
+
+
 def _to_tuple(img_size, twoD: bool) -> Tuple[int, ...]:
     n = 2 if twoD else 3
     if isinstance(img_size, int):
@@ -486,33 +517,12 @@ class VIT(nn.Module):
         return x
 
     def _run_blocks_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
-        """GPipe over the mesh 'pp' axis (parallel/pipeline.py). The
-        scan-stacked block params are read off the bound submodule and each
-        layer slice is applied through a detached (pure) Block — gradients
-        flow because `.variables` returns the live traced arrays."""
-        from flax.core import meta as flax_meta
-
-        from ucf_vit_tpu.ops.attention import _active_mesh
-        from ucf_vit_tpu.parallel.pipeline import pipeline_blocks
-
-        stacked = flax_meta.unbox(self.blocks_scan.variables["params"])[
-            "block"
-        ]
-        # parent=None detaches the instance from the bound-module context:
-        # it declares no params here — it is only a pure applier for the
-        # layer slices read off blocks_scan above
-        blk = Block(drop_path=0.0, parent=None, **self._pipe_block_kwargs)
-
-        def apply_layer(p, t):
-            return blk.apply({"params": p}, t, True)
-
-        return pipeline_blocks(
-            apply_layer,
-            stacked,
+        return run_pipelined_stack(
+            self.blocks_scan,
+            self._pipe_block_kwargs,
+            self.pipe_par_size,
+            self.pipe_microbatches,
             x,
-            mesh=_active_mesh(),
-            pp_size=self.pipe_par_size,
-            num_microbatches=self.pipe_microbatches,
         )
 
     def forward_features(
