@@ -223,3 +223,70 @@ def test_pp_diffusion_decoder():
             v2, xs, t
         )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+def test_relayout_stacked_roundtrip():
+    """Elastic topology across pp: a per-layer (non-pp) MAE params tree
+    relayouts into the pp model's stacked decoder layout and back,
+    numerically identical — the trainer applies this on init_params_from."""
+    from ucf_vit_tpu.checkpoint import relayout_stacked
+    from ucf_vit_tpu.models import MAE
+
+    mae_kw = dict(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=64, depth=2,
+        num_heads=4, decoder_embed_dim=32, decoder_depth=2,
+        decoder_num_heads=4, class_token=False, default_vars=("r", "g", "b"),
+        mask_ratio=0.75, attn_impl=AttnImpl.EINSUM,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32
+    )
+    rngs = {"params": jax.random.key(0), "mask": jax.random.key(1)}
+    # plain model: per-layer blocks_i AND decoder_blocks_i
+    v_plain = unbox(MAE(**mae_kw).init(rngs, x)["params"])
+    # pp model: stacked blocks (scan) and stacked decoder
+    m_pp = MAE(**mae_kw, scan_layers=True, pipe_par_size=2,
+               pipe_microbatches=2)
+    v_pp_t = jax.eval_shape(lambda: m_pp.init(rngs, x))["params"]
+    v_pp_t = unbox(v_pp_t)
+
+    v_to_pp = relayout_stacked(v_plain, v_pp_t)
+    assert jax.tree.structure(v_to_pp) == jax.tree.structure(v_pp_t)
+    for a, b in zip(jax.tree.leaves(v_to_pp), jax.tree.leaves(v_pp_t)):
+        assert np.shape(a) == b.shape, (np.shape(a), b.shape)
+    # and back
+    v_back = relayout_stacked(v_to_pp, v_plain)
+    assert jax.tree.structure(v_back) == jax.tree.structure(v_plain)
+    for a, b in zip(jax.tree.leaves(v_back), jax.tree.leaves(v_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_with_grad_accum():
+    """pipe microbatching composes with make_train_step's gradient
+    accumulation (each accum microbatch is itself pipelined)."""
+    from ucf_vit_tpu.parallel.train_step import (
+        create_sharded_train_state,
+        make_train_step,
+    )
+    from ucf_vit_tpu.utils.optim import configure_optimizer
+
+    x, y = _data()
+    m = VIT(**KW, scan_layers=True, pipe_par_size=2, pipe_microbatches=2)
+    mesh = make_mesh(simple_ddp_size=2, fsdp_size=2, pipe_par_size=2)
+
+    def loss_fn(params, batch, rng):
+        lse = jax.nn.log_softmax(m.apply({"params": params}, batch["x"]))
+        return -jnp.mean(jnp.take_along_axis(lse, batch["y"][:, None], 1))
+
+    with mesh_context(mesh):
+        def init_fn():
+            return m.init(jax.random.key(0), x)
+
+        shapes = jax.eval_shape(init_fn)["params"]
+        tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+        state, _ = create_sharded_train_state(init_fn, tx, mesh)
+        step = make_train_step(loss_fn, tx, accum_steps=2)
+        state, loss, _ = step(
+            state, shard_batch(mesh, {"x": x, "y": y}), jax.random.key(1)
+        )
+        assert np.isfinite(float(loss))

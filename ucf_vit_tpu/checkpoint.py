@@ -18,6 +18,7 @@ own param shards; resume restores with the current mesh sharding.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -311,4 +312,51 @@ def transfer_mae_encoder(
                     dst[k] = sv.astype(np.asarray(dv).dtype)
 
     walk(mae_params, out)
+    return out
+
+
+def relayout_stacked(src: Dict[str, Any], target: Dict[str, Any]) -> Dict[str, Any]:
+    """Adapt a loaded params tree to the target's block-stack layout.
+
+    The encoder stack ('blocks') and the MAE/DiffusionVIT decoder stack
+    ('decoder_blocks') have two on-disk layouts: per-layer subtrees
+    `<name>_{i}` (plain module lists) and a scan-stacked `{name: {block:
+    ...}}` container with a leading depth axis (scan_layers, and always
+    under pipe_par_size > 1). Checkpoints written in one layout can warm-
+    start or elastically resume a model built in the other: this stacks or
+    unstacks each family to match `target`. Entries already in the target
+    layout pass through untouched.
+    """
+    def per_layer_keys(tree, name):
+        ks = [k for k in tree if re.fullmatch(rf"{name}_\d+", k)]
+        return sorted(ks, key=lambda k: int(k.rsplit("_", 1)[1]))
+
+    def stack(trees):
+        if isinstance(trees[0], dict):
+            return {k: stack([t[k] for t in trees]) for k in trees[0]}
+        return np.stack([np.asarray(t) for t in trees])
+
+    def unstack(tree, i):
+        if isinstance(tree, dict):
+            return {k: unstack(v, i) for k, v in tree.items()}
+        return np.asarray(tree)[i]
+
+    out = dict(src)
+    for name in ("blocks", "decoder_blocks"):
+        tgt_stacked = isinstance(target.get(name), dict) and set(
+            target[name]
+        ) == {"block"}
+        src_layers = per_layer_keys(src, name)
+        src_stacked = isinstance(src.get(name), dict) and set(
+            src[name]
+        ) == {"block"}
+        if tgt_stacked and src_layers:
+            out[name] = {"block": stack([src[k] for k in src_layers])}
+            for k in src_layers:
+                del out[k]
+        elif not tgt_stacked and src_stacked and per_layer_keys(target, name):
+            depth = len(per_layer_keys(target, name))
+            for i in range(depth):
+                out[f"{name}_{i}"] = unstack(src[name]["block"], i)
+            del out[name]
     return out

@@ -403,6 +403,9 @@ def train(
                 expect_head_meta=head_meta,
             )
             src = payload["state"]["params"]
+            # adapt per-layer <-> scan-stacked block layouts (a non-pp
+            # checkpoint warm-starting a pipe_par_size > 1 model, or back)
+            src = ckpt.relayout_stacked(src, state.params)
 
             def _put(old, new):
                 assert old.shape == np.shape(new), (
