@@ -11,8 +11,10 @@ import io
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
+import jax.numpy as jnp
 import numpy as np
 
 from ucf_vit_tpu.config import Config
@@ -286,6 +288,73 @@ def test_serve_diffusion_generate():
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_hot_reload(tmp_path):
+    """POST /v1/reload swaps weights without restarting or recompiling:
+    predictions change to match the new checkpoint's params, /v1/stats
+    reports the new epoch, and a bad checkpoint path returns 400."""
+    import jax
+
+    from ucf_vit_tpu import checkpoint as ckpt
+    from ucf_vit_tpu.parallel.train_step import TrainState
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    # '_latest' resolves the newest even/odd slot — the natural production
+    # reload flow ("pick up whatever training last committed")
+    cfg.raw["trainer"]["checkpoint_filename_for_loading"] = "srv_latest"
+    server = make_server(cfg, host="127.0.0.1", port=0, max_batch=2,
+                         max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        x = np.random.default_rng(3).normal(size=(1, 16, 16)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        body = buf.getvalue()
+        url = f"http://127.0.0.1:{port}"
+        before = np.load(io.BytesIO(_post(
+            f"{url}/v1/predict", body, "application/x-npy")))
+
+        # write a checkpoint with DIFFERENT weights (fresh init, other seed)
+        _, _, _, (_, holder, _) = build_predictor(cfg, max_batch=2, seed=0)
+        other = jax.tree.map(
+            lambda a: np.asarray(a) + 0.05, holder["params"]
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=other, opt_state={}
+        )
+        ckpt.save_checkpoint(
+            str(tmp_path), "srv", epoch=7, state=state,
+            head_meta=ckpt.head_meta_from_config(cfg),
+        )
+
+        resp = json.loads(_post(
+            f"{url}/v1/reload",
+            json.dumps({"checkpoint": str(tmp_path)}).encode(),
+            "application/json",
+        ))
+        assert resp == {"status": "reloaded", "epoch": 7}
+        after = np.load(io.BytesIO(_post(
+            f"{url}/v1/predict", body, "application/x-npy")))
+        assert not np.allclose(before, after), "reload did not change weights"
+        stats = _get_json(f"{url}/v1/stats")
+        assert stats["checkpoint_epoch"] == 7
+
+        # bad path -> 400, serving keeps the last-good weights
+        try:
+            _post(f"{url}/v1/reload",
+                  json.dumps({"checkpoint": str(tmp_path / "nope")}).encode(),
+                  "application/json")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        again = np.load(io.BytesIO(_post(
+            f"{url}/v1/predict", body, "application/x-npy")))
+        np.testing.assert_allclose(again, after, atol=1e-6)
     finally:
         server.shutdown()
         server.server_close()

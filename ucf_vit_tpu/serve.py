@@ -149,17 +149,38 @@ def build_predictor(
     from ucf_vit_tpu.parallel.train_step import unbox
 
     params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
-    if checkpoint_dir:
+    # mutable holder so checkpoints can be hot-swapped while serving
+    # (run_batch reads it at dispatch; the micro-batcher is the only
+    # dispatching thread, so a swap lands atomically between batches)
+    holder = {"params": params, "epoch": None}
+
+    def load_weights(ckpt_dir: str, ema: bool = False) -> int:
         from ucf_vit_tpu.inference import _params_from_payload
 
         payload = ckpt.restore_checkpoint(
-            checkpoint_dir,
+            ckpt_dir,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = _params_from_payload(payload, use_ema)
-        print(f"serving checkpoint from epoch {int(payload['epoch'])}",
-              flush=True)
+        new = _params_from_payload(payload, ema)
+        old = holder["params"]
+        assert jax.tree.structure(new) == jax.tree.structure(old), (
+            "checkpoint param tree does not match the serving model"
+        )
+        for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(old)):
+            assert np.shape(a) == np.shape(b), (
+                f"checkpoint shape {np.shape(a)} != model {np.shape(b)}"
+            )
+        # same fixed shapes -> the compiled executable is reused as-is
+        holder["params"] = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x)), new
+        )
+        holder["epoch"] = int(payload["epoch"])
+        return holder["epoch"]
+
+    if checkpoint_dir:
+        epoch = load_weights(checkpoint_dir, use_ema)
+        print(f"serving checkpoint from epoch {epoch}", flush=True)
 
     sqrt_len, p, task = cfg.sqrt_len, cfg.patch_size, cfg.task
 
@@ -238,9 +259,11 @@ def build_predictor(
         # batch's compute. The batcher materializes the result one batch
         # late, so transfer, compute, and readback all pipeline.
         dev = jax.device_put({k: v for k, v in batch.items() if k in consumed})
-        return jfwd(params, dev)
+        return jfwd(holder["params"], dev)
 
-    return run_batch, make_preprocessor(cfg), max_batch, (model, params)
+    return run_batch, make_preprocessor(cfg), max_batch, (
+        model, holder, load_weights,
+    )
 
 
 def build_generator(cfg: Config, params, model, num_samples: int):
@@ -418,6 +441,8 @@ class _Handler(BaseHTTPRequestHandler):
     batcher: Optional[MicroBatcher] = None
     preprocess = None
     generate = None
+    reload_weights = None  # load_weights(ckpt_dir, ema) -> epoch
+    weights_holder: Optional[dict] = None
     task = ""
 
     def log_message(self, fmt, *args):  # quiet access log
@@ -445,6 +470,8 @@ class _Handler(BaseHTTPRequestHandler):
                 s = dict(b.stats)
             s["task"] = self.task
             s["max_batch"] = b.max_batch
+            if self.weights_holder is not None:
+                s["checkpoint_epoch"] = self.weights_holder.get("epoch")
             if s["batches"]:
                 s["mean_batch_fill"] = s["batch_fill_sum"] / s["batches"]
             if s["requests"]:
@@ -472,9 +499,28 @@ class _Handler(BaseHTTPRequestHandler):
                 imgs = self.generate(int(req.get("seed", 0)))
                 num = int(req.get("num", imgs.shape[0]))
                 self._send(200, _npy_bytes(imgs[:num]), "application/x-npy")
+            elif self.path == "/v1/reload":
+                # zero-downtime weight swap: same model/shape contract, so
+                # the compiled executable is reused; in-flight batches finish
+                # on the old weights, the next batch dispatches on the new
+                if self.reload_weights is None:
+                    raise ValueError("reload is not available for this task")
+                req = json.loads(body or b"{}")
+                if "checkpoint" not in req:
+                    raise KeyError("body must be {'checkpoint': <dir>, ...}")
+                epoch = self.reload_weights(
+                    str(req["checkpoint"]), bool(req.get("ema", False))
+                )
+                self._send_json(200, {"status": "reloaded", "epoch": epoch})
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
-        except (ValueError, KeyError, json.JSONDecodeError) as e:
+        except (
+            ValueError,
+            KeyError,
+            json.JSONDecodeError,
+            AssertionError,
+            FileNotFoundError,
+        ) as e:
             self._send_json(400, {"error": str(e)})
         except TimeoutError as e:
             self._send_json(503, {"error": str(e)})
@@ -525,9 +571,11 @@ def make_server(
             build_generator(cfg, params, model, num_generate)
         )
     else:
-        run_batch, preprocess, mb, _ = build_predictor(
+        run_batch, preprocess, mb, (_, holder, load_weights) = build_predictor(
             cfg, checkpoint_dir, use_ema=use_ema, max_batch=max_batch
         )
+        Handler.reload_weights = staticmethod(load_weights)
+        Handler.weights_holder = holder
         # warm the executable before accepting traffic — with exactly the
         # key-set/shape a preprocessed request produces, so the compile
         # cache hit is guaranteed (extra keys would change the traced
