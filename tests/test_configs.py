@@ -16,9 +16,9 @@ CONFIGS = sorted(
 
 def test_found_all_configs():
     # the reference's 8 workloads + the ViT-L scale-out variant + the
-    # long-context sequence-parallel MAE + the pipeline-parallel ViT-L
-    # (capability-plus)
-    assert len(CONFIGS) == 11
+    # long-context sequence-parallel MAE + the pipeline-parallel ViT-L +
+    # the expert-parallel MoE classifier (capability-plus)
+    assert len(CONFIGS) == 12
 
 
 @pytest.mark.parametrize("path", CONFIGS)

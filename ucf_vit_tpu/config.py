@@ -183,6 +183,31 @@ class Config:
                 "(forward_intermediates needs per-layer outputs, which live "
                 "on different pipeline stages)"
             )
+        moe_e = int(self.init_args.get("moe_num_experts", 0))
+        ep = int(self.parallelism.get("expert_par_size", 1))
+        if moe_e > 1 or ep > 1:
+            assert moe_e > 1, (
+                "parallelism.expert_par_size > 1 needs init_args."
+                "moe_num_experts > 1 (there are no experts to shard)"
+            )
+            assert moe_e % ep == 0, (
+                f"moe_num_experts {moe_e} must divide by expert_par_size {ep}"
+            )
+            assert pp == 1, (
+                "MoE with pipe_par_size > 1 is not supported (the GPipe "
+                "schedule is manual over pp; MoE needs GSPMD auto mode)"
+            )
+            every = int(self.init_args.get("moe_every", 2))
+            assert every >= 1, "moe_every must be >= 1"
+            if bool(
+                self.trainer.get(
+                    "scan_layers", self.init_args.get("scan_layers", False)
+                )
+            ):
+                assert every == 1, (
+                    "scan_layers stacks identical blocks: MoE under scan "
+                    "requires moe_every == 1"
+                )
         sp_mode = str(self.parallelism.get("sp_mode", "auto")).lower()
         assert sp_mode in ("auto", "ulysses", "ring", "gather"), (
             f"parallelism.sp_mode must be auto|ulysses|ring|gather, got {sp_mode}"

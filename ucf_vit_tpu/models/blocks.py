@@ -247,6 +247,11 @@ class Block(nn.Module):
     drop_path: float = 0.0
     gelu_approx: bool = True
     seg_len: Optional[int] = None  # sequence-packing segment mask (see Attention)
+    # MoE (capability-plus, models/moe.py): > 1 replaces the dense MLP with
+    # a top-k routed expert mixture sharded over the 'ep' mesh axis
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -270,14 +275,28 @@ class Block(nn.Module):
         x = x + y
 
         y = layer_norm(name="norm2", dtype=self.dtype)(x)
-        y = Mlp(
-            hidden_features=int(self.dim * self.mlp_ratio),
-            out_features=self.dim,
-            drop=self.proj_drop,
-            gelu_approx=self.gelu_approx,
-            dtype=self.dtype,
-            name="mlp",
-        )(y, deterministic)
+        if self.moe_num_experts > 1:
+            from ucf_vit_tpu.models.moe import MoeMlp
+
+            y = MoeMlp(
+                dim=self.dim,
+                hidden_features=int(self.dim * self.mlp_ratio),
+                num_experts=self.moe_num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                gelu_approx=self.gelu_approx,
+                dtype=self.dtype,
+                name="moe_mlp",
+            )(y, deterministic)
+        else:
+            y = Mlp(
+                hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim,
+                drop=self.proj_drop,
+                gelu_approx=self.gelu_approx,
+                dtype=self.dtype,
+                name="mlp",
+            )(y, deterministic)
         if self.init_values is not None:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         y = DropPath(self.drop_path, name="drop_path2")(y, deterministic)

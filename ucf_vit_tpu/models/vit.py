@@ -137,6 +137,16 @@ class VIT(nn.Module):
     # pipeline.pick_microbatches).
     pipe_par_size: int = 1
     pipe_microbatches: int = 0
+    # MoE encoder blocks (capability-plus: reference has no MoE/EP —
+    # SURVEY §2.5). moe_num_experts > 1 swaps the dense MLP for a top-k
+    # routed expert mixture (models/moe.py) in every `moe_every`-th block
+    # (V-MoE's every-2 placement by default; blocks 1,3,5,... are MoE).
+    # Expert weights shard over the mesh 'ep' axis
+    # (parallelism.expert_par_size).
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 2
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 policy)
     # tanh-approx GELU is the TPU perf default (~40% cheaper on the VPU);
     # the reference uses exact erf (torch nn.GELU) — set
@@ -349,7 +359,13 @@ class VIT(nn.Module):
             gelu_approx=self.gelu_approx,
             seg_len=self._block_seg_len(),
         )
+        moe_on = self.moe_num_experts > 1
         if self.pipe_par_size > 1:
+            assert not moe_on, (
+                "MoE blocks inside the GPipe shard_map schedule are not "
+                "supported (the schedule is manual over pp; MoE's ep-axis "
+                "einsum resharding must stay in GSPMD auto mode)"
+            )
             assert self.scan_layers, (
                 "pipe_par_size > 1 requires scan_layers (block params must "
                 "be stacked [depth, ...] so stages shard over the pp axis)"
@@ -372,10 +388,23 @@ class VIT(nn.Module):
             assert self.drop_path_rate == 0.0, (
                 "scan_layers requires drop_path_rate == 0"
             )
+            if moe_on:
+                # scan stacks one homogeneous Block: every layer is MoE
+                assert self.moe_every == 1, (
+                    "scan_layers stacks identical blocks; MoE under scan "
+                    "requires moe_every == 1 (or use scan_layers=False for "
+                    "the V-MoE every-2 placement)"
+                )
+                block_kwargs.update(
+                    moe_num_experts=self.moe_num_experts,
+                    moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
+                )
             self.blocks_scan = nn.scan(
                 _ScanBlockBody,
                 length=self.depth,
-                variable_axes={"params": 0},
+                # "moe": per-layer sow'd aux losses stack on a leading axis
+                variable_axes={"params": 0, "moe": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast,),
                 metadata_params={nn.PARTITION_NAME: "layers"},
@@ -384,7 +413,20 @@ class VIT(nn.Module):
         else:
             dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
             self.blocks = [
-                block_cls(drop_path=float(dpr[i]), name=f"blocks_{i}", **block_kwargs)
+                block_cls(
+                    drop_path=float(dpr[i]),
+                    name=f"blocks_{i}",
+                    **(
+                        dict(
+                            block_kwargs,
+                            moe_num_experts=self.moe_num_experts,
+                            moe_top_k=self.moe_top_k,
+                            moe_capacity_factor=self.moe_capacity_factor,
+                        )
+                        if moe_on and i % self.moe_every == self.moe_every - 1
+                        else block_kwargs
+                    ),
+                )
                 for i in range(self.depth)
             ]
         self.norm = layer_norm(name="norm")

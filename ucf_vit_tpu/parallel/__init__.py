@@ -1,5 +1,6 @@
 from ucf_vit_tpu.parallel.mesh import (
     AXIS_DDP,
+    AXIS_EP,
     AXIS_FSDP,
     AXIS_SP,
     AXIS_TP,
@@ -16,6 +17,7 @@ from ucf_vit_tpu.parallel.train_step import (
 
 __all__ = [
     "AXIS_DDP",
+    "AXIS_EP",
     "AXIS_FSDP",
     "AXIS_SP",
     "AXIS_TP",

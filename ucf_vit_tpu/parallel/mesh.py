@@ -16,6 +16,8 @@ Axis semantics (reference parallelism config keys map 1:1):
   pp   — pipe_par_size     (GPipe pipeline stages — capability-plus: the
                             reference has no pipeline parallelism at all)
   ddp  — simple_ddp_size   (replica / HYBRID_SHARD outer axis)
+  ep   — expert_par_size   (MoE expert sharding — capability-plus: the
+                            reference has no MoE/EP; models/moe.py)
   fsdp — fsdp_size         (parameter-sharding axis, ZeRO-3 style)
   sp   — seq_par_size      (sequence parallelism — real here, asserted ==1 in
                             the reference, `train_masked_fsdp.py:220`)
@@ -38,14 +40,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS_PP = "pp"
 AXIS_DDP = "ddp"
+AXIS_EP = "ep"
 AXIS_FSDP = "fsdp"
 AXIS_SP = "sp"
 AXIS_TP = "tp"
-MESH_AXES = (AXIS_PP, AXIS_DDP, AXIS_FSDP, AXIS_SP, AXIS_TP)
+MESH_AXES = (AXIS_PP, AXIS_DDP, AXIS_EP, AXIS_FSDP, AXIS_SP, AXIS_TP)
 
-# Batch is data-parallel over both ddp and fsdp (reference:
-# data_par_size = fsdp_size * simple_ddp_size, `train_masked_fsdp.py:219`).
-DATA_AXES = (AXIS_DDP, AXIS_FSDP)
+# Batch is data-parallel over ddp and fsdp (reference:
+# data_par_size = fsdp_size * simple_ddp_size, `train_masked_fsdp.py:219`)
+# and additionally over ep: expert parallelism borrows the data dimension
+# for everything outside the expert einsums (the MaxText/GShard layout), so
+# ep devices are never idle in the dense parts of the model.
+DATA_AXES = (AXIS_DDP, AXIS_EP, AXIS_FSDP)
 
 # Logical axis name -> mesh axis (None = replicated). These names are attached
 # to params via nn.with_partitioning in models/blocks.py and to activations
@@ -61,6 +67,12 @@ LOGICAL_RULES = (
     ("mlp", AXIS_TP),  # fc1 column-parallel (fsdp/building_blocks.py:123)
     ("qkv", AXIS_TP),  # qkv column-parallel (fsdp/building_blocks.py:169)
     ("tp_in", AXIS_TP),  # proj/fc2 row-parallel (fsdp/building_blocks.py:127,173)
+    # MoE (capability-plus; models/moe.py): stacked expert weights shard
+    # their leading E axis over ep; dispatched activations keep E on ep and
+    # their token-batch on the non-ep data axes, which makes GSPMD lower the
+    # dispatch/combine einsums to the canonical a2a pair over ep.
+    ("expert", AXIS_EP),
+    ("expert_batch", (AXIS_DDP, AXIS_FSDP)),
     ("dec_embed", None),
     ("embed_out", None),
     ("classes", None),
@@ -73,14 +85,16 @@ def make_mesh(
     seq_par_size: int = 1,
     tensor_par_size: int = 1,
     pipe_par_size: int = 1,
+    expert_par_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build the 5-axis mesh from the reference parallelism config keys."""
+    """Build the 6-axis mesh from the reference parallelism config keys."""
     if devices is None:
         devices = jax.devices()
     world = (
         pipe_par_size
         * simple_ddp_size
+        * expert_par_size
         * fsdp_size
         * seq_par_size
         * tensor_par_size
@@ -91,11 +105,16 @@ def make_mesh(
         devices = devices[:world]
     assert world == len(devices), (
         f"world size {world} (= pp {pipe_par_size} x ddp {simple_ddp_size} x "
-        f"fsdp {fsdp_size} x sp {seq_par_size} x tp {tensor_par_size}) "
-        f"!= #devices {len(devices)}"
+        f"ep {expert_par_size} x fsdp {fsdp_size} x sp {seq_par_size} x "
+        f"tp {tensor_par_size}) != #devices {len(devices)}"
     )
     arr = np.asarray(devices).reshape(
-        pipe_par_size, simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size
+        pipe_par_size,
+        simple_ddp_size,
+        expert_par_size,
+        fsdp_size,
+        seq_par_size,
+        tensor_par_size,
     )
     return Mesh(arr, MESH_AXES)
 
@@ -103,13 +122,14 @@ def make_mesh(
 def mesh_from_config(parallelism: dict, devices=None) -> Mesh:
     """Reference YAML `parallelism:` section -> Mesh. Keys:
     simple_ddp_size, fsdp_size, seq_par_size, tensor_par_size,
-    pipe_par_size (capability-plus)."""
+    pipe_par_size + expert_par_size (capability-plus)."""
     return make_mesh(
         simple_ddp_size=int(parallelism.get("simple_ddp_size", 1)),
         fsdp_size=int(parallelism.get("fsdp_size", 1)),
         seq_par_size=int(parallelism.get("seq_par_size", 1)),
         tensor_par_size=int(parallelism.get("tensor_par_size", 1)),
         pipe_par_size=int(parallelism.get("pipe_par_size", 1)),
+        expert_par_size=int(parallelism.get("expert_par_size", 1)),
         devices=devices,
     )
 

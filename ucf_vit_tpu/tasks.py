@@ -77,6 +77,10 @@ def _common_kwargs(cfg: Config) -> dict:
         ),
         pipe_par_size=int(cfg.parallelism.get("pipe_par_size", 1)),
         pipe_microbatches=int(cfg.parallelism.get("pipe_microbatches", 0)),
+        moe_num_experts=int(ia.get("moe_num_experts", 0)),
+        moe_top_k=int(ia.get("moe_top_k", 2)),
+        moe_capacity_factor=float(ia.get("moe_capacity_factor", 1.25)),
+        moe_every=int(ia.get("moe_every", 2)),
         dtype=jnp.bfloat16 if cfg.trainer.get("data_type") == "bfloat16" else None,
     )
 
@@ -118,6 +122,26 @@ def disassemble_sqrt_len(img: jnp.ndarray, sqrt_len: int, p: int, twoD: bool):
     return t.reshape(lead + (sqrt_len**3, p**3))
 
 
+def _moe_args(cfg: Config) -> tuple:
+    """(enabled, aux_weight) from init_args. moe_num_experts > 1 turns the
+    dense MLPs of every moe_every-th encoder block into routed expert
+    mixtures (models/moe.py; capability-plus — the reference has no MoE)."""
+    ia = cfg.init_args
+    enabled = int(ia.get("moe_num_experts", 0)) > 1
+    return enabled, float(ia.get("moe_aux_weight", 0.01)) if enabled else 0.0
+
+
+def _apply(model, variables, *args, **kwargs):
+    """model.apply that also collects the MoE load-balance aux loss (0.0 for
+    dense models) — the one place every task loss funnels through."""
+    if getattr(model, "moe_num_experts", 0) > 1:
+        from ucf_vit_tpu.models.moe import collect_moe_aux
+
+        out, mut = model.apply(variables, *args, mutable="moe", **kwargs)
+        return out, collect_moe_aux(mut)
+    return model.apply(variables, *args, **kwargs), jnp.float32(0.0)
+
+
 def _seq_ps(batch) -> Optional[jnp.ndarray]:
     """Assemble [B, L, 1+nd] (size, center...) descriptors. Parity:
     `train_unetr_simple.py:430-440` (squeeze channel, concat size+pos)."""
@@ -141,13 +165,15 @@ def build_classification(cfg: Config):
         **_common_kwargs(cfg),
     )
 
+    _, moe_w = _moe_args(cfg)
+
     def loss_fn(params, batch, rng, var_ids=None):
         x = batch["seq"] if cfg.adaptive_patching else batch["x"]
-        logits = model.apply(
-            {"params": params}, x, var_ids, _seq_ps(batch),
+        logits, moe_aux = _apply(
+            model, {"params": params}, x, var_ids, _seq_ps(batch),
             deterministic=False, rngs={"dropout": rng},
         )
-        loss = cross_entropy(logits, batch["label"])
+        loss = cross_entropy(logits, batch["label"]) + moe_w * moe_aux
         return loss, {"accuracy": accuracy(logits, batch["label"])}
 
     return model, loss_fn
@@ -172,29 +198,30 @@ def build_mae(cfg: Config):
         **_common_kwargs(cfg),
     )
     loss_name = cfg.model.get("loss_fn", "MSE")
+    _, moe_w = _moe_args(cfg)
 
     def loss_fn(params, batch, rng, var_ids=None):
         rng_mask, rng_drop = jax.random.split(rng)
         rngs = {"mask": rng_mask, "dropout": rng_drop}
         if cfg.adaptive_patching:
             seq = batch["seq"]  # [B, C, L, p^d]
-            pred, mask = model.apply(
-                {"params": params}, seq, var_ids, _seq_ps(batch),
+            (pred, mask), moe_aux = _apply(
+                model, {"params": params}, seq, var_ids, _seq_ps(batch),
                 deterministic=False, rngs=rngs,
             )
             b, c, l, p = seq.shape
             target = seq.transpose(0, 2, 3, 1).reshape(b, l, p * c)
             # parity: adaptive MAE uses full MSE (`train_masked_fsdp.py:39-46`)
-            return mse(pred, target), {}
+            return mse(pred, target) + moe_w * moe_aux, {}
         data = batch["x"]
-        pred, mask = model.apply(
-            {"params": params}, data, var_ids, None,
+        (pred, mask), moe_aux = _apply(
+            model, {"params": params}, data, var_ids, None,
             deterministic=False, rngs=rngs,
         )
         target = patchify(data, cfg.patch_size, cfg.twoD)
         if loss_name == "maskMSE":
-            return masked_mse(pred, target, mask), {}
-        return mse(pred, target), {}
+            return masked_mse(pred, target, mask) + moe_w * moe_aux, {}
+        return mse(pred, target) + moe_w * moe_aux, {}
 
     return model, loss_fn
 
@@ -220,25 +247,27 @@ def build_unetr(cfg: Config):
     sqrt_len = cfg.sqrt_len
     p = cfg.patch_size
 
+    _, moe_w = _moe_args(cfg)
+
     def loss_fn(params, batch, rng, var_ids=None):
         data = batch["x"]
         if cfg.adaptive_patching:
             # reassemble token seq into the sqrt-len image
             # (`train_unetr_simple.py:43-54`)
             seq = reassemble_sqrt_len(batch["seq"], sqrt_len, p, cfg.twoD)
-            logits = model.apply(
-                {"params": params}, data, var_ids, _seq_ps(batch), seq,
+            logits, moe_aux = _apply(
+                model, {"params": params}, data, var_ids, _seq_ps(batch), seq,
                 deterministic=False, rngs={"dropout": rng},
             )
         else:
-            logits = model.apply(
-                {"params": params}, data, var_ids, None, None,
+            logits, moe_aux = _apply(
+                model, {"params": params}, data, var_ids, None, None,
                 deterministic=False, rngs={"dropout": rng},
             )
         label = batch["label"]
         if label.ndim == logits.ndim - 1:
             label = label[:, None]
-        return dice_ce_loss(logits, label, num_classes), {}
+        return dice_ce_loss(logits, label, num_classes) + moe_w * moe_aux, {}
 
     return model, loss_fn
 
@@ -260,13 +289,15 @@ def build_sap(cfg: Config):
     sqrt_len = cfg.sqrt_len
     p = cfg.patch_size
 
+    _, moe_w = _moe_args(cfg)
+
     def loss_fn(params, batch, rng, var_ids=None):
         # SAP always runs the adaptive sqrt-len path (`train_sap_simple.py:28-46`).
         seq = batch["seq"]  # [B, C, L, p^d]
         b = seq.shape[0]
         seq_img = reassemble_sqrt_len(seq, sqrt_len, p, cfg.twoD)
-        logits = model.apply(
-            {"params": params}, seq_img, var_ids, _seq_ps(batch),
+        logits, moe_aux = _apply(
+            model, {"params": params}, seq_img, var_ids, _seq_ps(batch),
             deterministic=False, rngs={"dropout": rng},
         )
         # serialized labels [B, L, p, p(, p)] -> image space, then one-hot
@@ -274,7 +305,7 @@ def build_sap(cfg: Config):
         flat = seq_label.reshape(b, seq_label.shape[1], -1)  # [B, L, p^d]
         label_img = reassemble_sqrt_len(flat, sqrt_len, p, cfg.twoD)
         onehot = jax.nn.one_hot(label_img, num_classes, axis=1)
-        return dice_b_loss(logits, onehot), {}
+        return dice_b_loss(logits, onehot) + moe_w * moe_aux, {}
 
     return model, loss_fn
 
@@ -298,6 +329,7 @@ def build_diffusion(cfg: Config):
         **_common_kwargs(cfg),
     )
     schedule = ddpm_schedule(time_steps)
+    _, moe_w = _moe_args(cfg)
 
     def loss_fn(params, batch, rng, var_ids=None):
         x0 = batch["x"]
@@ -305,12 +337,12 @@ def build_diffusion(cfg: Config):
         t = jax.random.randint(rng_t, (x0.shape[0],), 0, time_steps)
         e = jax.random.normal(rng_e, x0.shape, x0.dtype)
         xt = q_sample(schedule, x0, t, e)
-        pred = model.apply(
-            {"params": params}, xt, t, var_ids, None,
+        pred, moe_aux = _apply(
+            model, {"params": params}, xt, t, var_ids, None,
             deterministic=False, rngs={"dropout": rng_drop},
         )
         pred_img = unpatchify(pred, x0.shape, cfg.patch_size, cfg.twoD)
-        return mse(pred_img, e), {}
+        return mse(pred_img, e) + moe_w * moe_aux, {}
 
     return model, loss_fn
 
