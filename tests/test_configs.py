@@ -28,3 +28,17 @@ def test_config_loads_and_builds(path):
     model, loss_fn = build_task(cfg)
     assert model is not None and callable(loss_fn)
     assert cfg.world_size >= 1
+
+
+def test_moe_config_data_par_size_counts_ep_axis():
+    """The mesh shards the batch over (ddp, ep, fsdp) — mesh.DATA_AXES — so
+    data_par_size must count expert_par_size: the shipped MoE config's
+    8-entry dataset_group_list (ddp 2 x ep 4) relies on it, and omitting ep
+    fed every device batch_size/ep samples (round-3 review finding)."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "imagenet",
+        "classification_moe", "base_config.yaml",
+    )
+    cfg = load_config(path)
+    assert cfg.data_par_size == 8
+    assert cfg.world_size == 8

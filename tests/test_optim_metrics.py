@@ -187,3 +187,20 @@ def test_memory_report_tool():
     r4_nd = analyze(cfg, batch=4, donate=False)
     assert r4_nd["donated_alias_bytes"] == 0
     assert r4_nd["peak_hbm_bytes"] >= r4["peak_hbm_bytes"]
+
+
+def test_memory_report_counts_ema_buffer():
+    """trainer.ema_decay adds a params-sized EMA tree to the real TrainState;
+    the AOT report must account for it (round-3 review: it was silently
+    absent, under-reporting peak HBM for EMA configs)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.tools.memory_report import analyze
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    base = analyze(cfg, batch=4)
+    cfg_ema = _cfg("classification", extra_data={"num_classes": 3})
+    cfg_ema.raw["trainer"]["ema_decay"] = 0.999
+    ema = analyze(cfg_ema, batch=4)
+    # the EMA copy is a full params-sized f32 tree carried in the arguments
+    assert ema["argument_bytes"] >= base["argument_bytes"] + base["params_bytes"]
+    assert ema["peak_hbm_bytes"] > base["peak_hbm_bytes"]

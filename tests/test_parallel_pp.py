@@ -290,3 +290,27 @@ def test_pp_with_grad_accum():
             state, shard_batch(mesh, {"x": x, "y": y}), jax.random.key(1)
         )
         assert np.isfinite(float(loss))
+
+
+def test_relayout_stacked_depth_mismatch_raises():
+    """Unstacking a DEEPER stacked checkpoint into a shallower per-layer
+    model must fail loudly, not silently discard the tail layers (round-3
+    review finding — the stack direction already tripped a shape assert)."""
+    from ucf_vit_tpu.checkpoint import relayout_stacked
+
+    stacked = {
+        "blocks": {"block": {"w": np.zeros((4, 3, 3), np.float32)}},
+        "head": {"w": np.zeros((3,), np.float32)},
+    }
+    target = {
+        "blocks_0": {"w": np.zeros((3, 3), np.float32)},
+        "blocks_1": {"w": np.zeros((3, 3), np.float32)},
+        "head": {"w": np.zeros((3,), np.float32)},
+    }
+    with pytest.raises(AssertionError, match="depth 4"):
+        relayout_stacked(stacked, target)
+    # equal depths still relayout fine
+    ok = {"blocks": {"block": {"w": np.zeros((2, 3, 3), np.float32)}},
+          "head": {"w": np.zeros((3,), np.float32)}}
+    out = relayout_stacked(ok, target)
+    assert set(out) == {"blocks_0", "blocks_1", "head"}

@@ -246,3 +246,37 @@ def test_validation_file_backed_heldout(tmp_path):
     vals = [r for r in recs if "val_loss" in r]
     assert len(vals) == 1 and np.isfinite(vals[0]["val_loss"])
     assert vals[0]["val_batches"] == 2
+
+
+def test_validation_loss_is_deterministic():
+    """The eval step must run with dropout/DropPath OFF: with drop rates > 0,
+    two different rngs give identical losses under deterministic=True and
+    (almost surely) different ones under the training mode the val loop
+    mistakenly used before (round-3 review finding)."""
+    import jax
+    import numpy as np
+
+    from ucf_vit_tpu.tasks import build_task
+    from ucf_vit_tpu.train import example_batch
+    from ucf_vit_tpu.parallel.train_step import unbox
+
+    cfg = _cfg(
+        "classification",
+        extra_init={"drop_rate": 0.3, "drop_path": 0.2},
+        extra_data={"num_classes": 3},
+    )
+    model, loss_fn = build_task(cfg)
+    batch = example_batch(cfg, 2)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    params = unbox(model.init(rngs, arrays["x"])["params"])
+
+    det = [
+        loss_fn(params, arrays, jax.random.key(s), deterministic=True)[0]
+        for s in (2, 3)
+    ]
+    assert float(det[0]) == float(det[1])
+    tr = [
+        loss_fn(params, arrays, jax.random.key(s))[0] for s in (2, 3)
+    ]
+    assert float(tr[0]) != float(tr[1])

@@ -356,6 +356,17 @@ def relayout_stacked(src: Dict[str, Any], target: Dict[str, Any]) -> Dict[str, A
                 del out[k]
         elif not tgt_stacked and src_stacked and per_layer_keys(target, name):
             depth = len(per_layer_keys(target, name))
+            src_depth = int(
+                np.shape(jax.tree.leaves(src[name]["block"])[0])[0]
+            )
+            # depth mismatch must fail loudly in BOTH directions: the stack
+            # branch trips the downstream shape assert, but unstacking a
+            # deeper checkpoint would silently discard its tail layers
+            assert src_depth == depth, (
+                f"checkpoint '{name}' stack has depth {src_depth} but the "
+                f"model has {depth} layers — refusing to silently "
+                f"truncate/short-fill a warm start"
+            )
             for i in range(depth):
                 out[f"{name}_{i}"] = unstack(src[name]["block"], i)
             del out[name]

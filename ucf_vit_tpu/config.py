@@ -91,8 +91,15 @@ class Config:
 
     @property
     def data_par_size(self) -> int:
+        # Number of batch shards = every axis the mesh lays the batch over
+        # (mesh.DATA_AXES = ddp, ep, fsdp): ep devices each consume distinct
+        # data so the dense parts stay busy under expert parallelism.
         p = self.parallelism
-        return int(p.get("fsdp_size", 1)) * int(p.get("simple_ddp_size", 1))
+        return (
+            int(p.get("fsdp_size", 1))
+            * int(p.get("simple_ddp_size", 1))
+            * int(p.get("expert_par_size", 1))
+        )
 
     @property
     def world_size(self) -> int:

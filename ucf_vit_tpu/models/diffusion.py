@@ -92,7 +92,7 @@ class DiffusionVIT(VIT):
             dpr = np.linspace(0.0, self.drop_path_rate, self.decoder_depth)
             block_cls = Block
             if self.remat:
-                block_cls = nn.remat(Block, static_argnums=(1,))
+                block_cls = nn.remat(Block, static_argnums=(2,))  # 2: flax core fn is (module, x, deterministic)
             dec_kwargs = dict(
                 dim=self.decoder_embed_dim,
                 num_heads=self.decoder_num_heads,

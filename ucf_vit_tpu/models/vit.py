@@ -344,7 +344,7 @@ class VIT(nn.Module):
         # --- transformer stack ----------------------------------------------
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(1,))
+            block_cls = nn.remat(Block, static_argnums=(2,))  # 2: flax core fn is (module, x, deterministic)
         block_kwargs = dict(
             dim=self.embed_dim,
             num_heads=self.num_heads,

@@ -443,6 +443,7 @@ class _Handler(BaseHTTPRequestHandler):
     generate = None
     reload_weights = None  # load_weights(ckpt_dir, ema) -> epoch
     weights_holder: Optional[dict] = None
+    serve_ema = False  # server's --ema startup setting (reload default)
     task = ""
 
     def log_message(self, fmt, *args):  # quiet access log
@@ -508,8 +509,12 @@ class _Handler(BaseHTTPRequestHandler):
                 req = json.loads(body or b"{}")
                 if "checkpoint" not in req:
                     raise KeyError("body must be {'checkpoint': <dir>, ...}")
+                # default to the server's --ema startup setting: an EMA
+                # deployment hot-reloading without an explicit "ema" key
+                # must keep serving EMA weights (round-3 review finding)
                 epoch = self.reload_weights(
-                    str(req["checkpoint"]), bool(req.get("ema", False))
+                    str(req["checkpoint"]),
+                    bool(req.get("ema", self.serve_ema)),
                 )
                 self._send_json(200, {"status": "reloaded", "epoch": epoch})
             else:
@@ -576,6 +581,7 @@ def make_server(
         )
         Handler.reload_weights = staticmethod(load_weights)
         Handler.weights_holder = holder
+        Handler.serve_ema = use_ema
         # warm the executable before accepting traffic — with exactly the
         # key-set/shape a preprocessed request produces, so the compile
         # cache hit is guaranteed (extra keys would change the traced

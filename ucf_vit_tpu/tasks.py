@@ -167,11 +167,11 @@ def build_classification(cfg: Config):
 
     _, moe_w = _moe_args(cfg)
 
-    def loss_fn(params, batch, rng, var_ids=None):
+    def loss_fn(params, batch, rng, var_ids=None, deterministic=False):
         x = batch["seq"] if cfg.adaptive_patching else batch["x"]
         logits, moe_aux = _apply(
             model, {"params": params}, x, var_ids, _seq_ps(batch),
-            deterministic=False, rngs={"dropout": rng},
+            deterministic=deterministic, rngs={"dropout": rng},
         )
         loss = cross_entropy(logits, batch["label"]) + moe_w * moe_aux
         return loss, {"accuracy": accuracy(logits, batch["label"])}
@@ -200,14 +200,14 @@ def build_mae(cfg: Config):
     loss_name = cfg.model.get("loss_fn", "MSE")
     _, moe_w = _moe_args(cfg)
 
-    def loss_fn(params, batch, rng, var_ids=None):
+    def loss_fn(params, batch, rng, var_ids=None, deterministic=False):
         rng_mask, rng_drop = jax.random.split(rng)
         rngs = {"mask": rng_mask, "dropout": rng_drop}
         if cfg.adaptive_patching:
             seq = batch["seq"]  # [B, C, L, p^d]
             (pred, mask), moe_aux = _apply(
                 model, {"params": params}, seq, var_ids, _seq_ps(batch),
-                deterministic=False, rngs=rngs,
+                deterministic=deterministic, rngs=rngs,
             )
             b, c, l, p = seq.shape
             target = seq.transpose(0, 2, 3, 1).reshape(b, l, p * c)
@@ -216,7 +216,7 @@ def build_mae(cfg: Config):
         data = batch["x"]
         (pred, mask), moe_aux = _apply(
             model, {"params": params}, data, var_ids, None,
-            deterministic=False, rngs=rngs,
+            deterministic=deterministic, rngs=rngs,
         )
         target = patchify(data, cfg.patch_size, cfg.twoD)
         if loss_name == "maskMSE":
@@ -249,7 +249,7 @@ def build_unetr(cfg: Config):
 
     _, moe_w = _moe_args(cfg)
 
-    def loss_fn(params, batch, rng, var_ids=None):
+    def loss_fn(params, batch, rng, var_ids=None, deterministic=False):
         data = batch["x"]
         if cfg.adaptive_patching:
             # reassemble token seq into the sqrt-len image
@@ -257,12 +257,12 @@ def build_unetr(cfg: Config):
             seq = reassemble_sqrt_len(batch["seq"], sqrt_len, p, cfg.twoD)
             logits, moe_aux = _apply(
                 model, {"params": params}, data, var_ids, _seq_ps(batch), seq,
-                deterministic=False, rngs={"dropout": rng},
+                deterministic=deterministic, rngs={"dropout": rng},
             )
         else:
             logits, moe_aux = _apply(
                 model, {"params": params}, data, var_ids, None, None,
-                deterministic=False, rngs={"dropout": rng},
+                deterministic=deterministic, rngs={"dropout": rng},
             )
         label = batch["label"]
         if label.ndim == logits.ndim - 1:
@@ -291,14 +291,14 @@ def build_sap(cfg: Config):
 
     _, moe_w = _moe_args(cfg)
 
-    def loss_fn(params, batch, rng, var_ids=None):
+    def loss_fn(params, batch, rng, var_ids=None, deterministic=False):
         # SAP always runs the adaptive sqrt-len path (`train_sap_simple.py:28-46`).
         seq = batch["seq"]  # [B, C, L, p^d]
         b = seq.shape[0]
         seq_img = reassemble_sqrt_len(seq, sqrt_len, p, cfg.twoD)
         logits, moe_aux = _apply(
             model, {"params": params}, seq_img, var_ids, _seq_ps(batch),
-            deterministic=False, rngs={"dropout": rng},
+            deterministic=deterministic, rngs={"dropout": rng},
         )
         # serialized labels [B, L, p, p(, p)] -> image space, then one-hot
         seq_label = batch["seq_label"].astype(jnp.int32)
@@ -331,7 +331,7 @@ def build_diffusion(cfg: Config):
     schedule = ddpm_schedule(time_steps)
     _, moe_w = _moe_args(cfg)
 
-    def loss_fn(params, batch, rng, var_ids=None):
+    def loss_fn(params, batch, rng, var_ids=None, deterministic=False):
         x0 = batch["x"]
         rng_t, rng_e, rng_drop = jax.random.split(rng, 3)
         t = jax.random.randint(rng_t, (x0.shape[0],), 0, time_steps)
@@ -339,7 +339,7 @@ def build_diffusion(cfg: Config):
         xt = q_sample(schedule, x0, t, e)
         pred, moe_aux = _apply(
             model, {"params": params}, xt, t, var_ids, None,
-            deterministic=False, rngs={"dropout": rng_drop},
+            deterministic=deterministic, rngs={"dropout": rng_drop},
         )
         pred_img = unpatchify(pred, x0.shape, cfg.patch_size, cfg.twoD)
         return mse(pred_img, e) + moe_w * moe_aux, {}

@@ -77,9 +77,20 @@ def analyze(cfg, batch: Optional[int] = None, donate: bool = True) -> dict:
         max_steps=int(mcfg.get("max_steps", 10000)),
         weight_decay=float(mcfg.get("weight_decay", 0.0)),
     )
+    # mirror create_sharded_train_state exactly: the EMA copy and the loss-
+    # scale scalar are live buffers in the real step (a params-sized f32
+    # tree for EMA — omitting it under-reported peak HBM, round-3 review)
+    from ucf_vit_tpu.utils.optim import init_loss_scale
+
+    use_ema = cfg.trainer.get("ema_decay") is not None
+    use_scaler = bool(mcfg.get("use_grad_scaler", False))
     state_abs = jax.eval_shape(
         lambda p: TrainState(
-            step=jnp.zeros((), jnp.int32), params=p, opt_state=tx.init(p)
+            step=jnp.zeros((), jnp.int32),
+            params=p,
+            opt_state=tx.init(p),
+            loss_scale=init_loss_scale(8192.0) if use_scaler else None,
+            ema_params=p if use_ema else None,
         ),
         params_abs,
     )

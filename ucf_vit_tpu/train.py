@@ -509,15 +509,28 @@ def train(
         def get_eval_step(variables):
             vids = model.get_var_ids(variables) if use_varemb else None
             if vids not in _eval_steps:
+                # deterministic=True: dropout/DropPath off for validation
+                # (mask / DDPM-noising rngs stay — they are the objective)
                 _eval_steps[vids] = jax.jit(
-                    lambda p, b, r, v=vids: loss_fn(p, b, r, var_ids=v)
+                    lambda p, b, r, v=vids: loss_fn(
+                        p, b, r, var_ids=v, deterministic=True
+                    )
                 )
             return _eval_steps[vids]
 
+        # one persistent looping iterator: successive validation passes walk
+        # through the whole held-out split (not the same first val_batches
+        # prefix), and the adaptive pipeline's worker pool is spawned once,
+        # not re-spawned and GC-abandoned per pass (round-3 review finding)
+        _val_iter = []
+
         def run_validation(state, rng):
-            it = val_synth if val_synth is not None else (
-                val_dm.train_dataloader(loop=True)
-            )
+            if not _val_iter:
+                _val_iter.append(
+                    val_synth if val_synth is not None
+                    else iter(val_dm.train_dataloader(loop=True))
+                )
+            it = _val_iter[0]
             total, aux_tot, n = 0.0, {}, 0
             for batch in it:
                 if n >= val_batches:
