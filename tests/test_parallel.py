@@ -197,3 +197,60 @@ def test_grad_accumulation_matches_full_batch():
     np.testing.assert_allclose(l2, l1, rtol=2e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class _FakeDev:
+    """Minimal stand-in for a multi-slice TPU device (CPU devices cannot
+    carry slice_index, so the DCN-spanning layout is tested with fakes)."""
+
+    def __init__(self, i, s):
+        self.id = i
+        self.slice_index = s
+        self.process_index = s
+        self.platform = "cpu"
+        self.device_kind = "fake"
+
+    def __repr__(self):
+        return f"D{self.id}s{self.slice_index}"
+
+
+def test_dcn_factorization_prefers_outer_axes():
+    from ucf_vit_tpu.parallel.mesh import _dcn_factorization
+
+    # ddp=4 on 2 slices: DCN takes a factor 2 of ddp, everything else ICI
+    assert _dcn_factorization((1, 4, 1, 2, 1, 2), 2) == (
+        (1, 2, 1, 1, 1, 1), (1, 2, 1, 2, 1, 2))
+    # pp=2 soaks DCN before ddp
+    assert _dcn_factorization((2, 4, 1, 2, 1, 2), 2) == (
+        (2, 1, 1, 1, 1, 1), (1, 4, 1, 2, 1, 2))
+    # 4 slices: pp takes 2, ddp takes 2
+    assert _dcn_factorization((2, 4, 1, 2, 1, 2), 4) == (
+        (2, 2, 1, 1, 1, 1), (1, 2, 1, 2, 1, 2))
+    # slices that don't factor into any axis -> None (make_mesh asserts)
+    assert _dcn_factorization((1, 1, 1, 2, 1, 2), 3) is None
+
+
+def test_multislice_assignment_keeps_inner_axes_on_ici():
+    """2 fake slices x 4 devices, ddp=2 ep=1 fsdp=2 tp=2: every (fsdp, tp)
+    submesh must live inside ONE slice (per-layer collectives on ICI) and
+    the ddp axis must span the slices (its once-per-step all-reduce is the
+    DCN-tolerant collective)."""
+    from ucf_vit_tpu.parallel.mesh import _assign_devices
+
+    devs = [_FakeDev(i, i // 4) for i in range(8)]
+    arr = _assign_devices((1, 2, 1, 2, 1, 2), devs)
+    assert arr.shape == (1, 2, 1, 2, 1, 2)
+    for ddp_idx in range(2):
+        sub = arr[0, ddp_idx].ravel()
+        assert len({d.slice_index for d in sub}) == 1, sub
+    assert {arr[0, 0, 0, 0, 0, 0].slice_index,
+            arr[0, 1, 0, 0, 0, 0].slice_index} == {0, 1}
+
+
+def test_make_mesh_single_slice_uses_all_axes():
+    # the CPU path (no slice_index): create_device_mesh or row-major reshape
+    m = make_mesh(simple_ddp_size=2, fsdp_size=2, tensor_par_size=2)
+    assert dict(m.shape) == {
+        "pp": 1, "ddp": 2, "ep": 1, "fsdp": 2, "sp": 1, "tp": 2
+    }
+    assert len({d.id for d in m.devices.flat}) == 8

@@ -108,7 +108,7 @@ def make_mesh(
         f"ep {expert_par_size} x fsdp {fsdp_size} x sp {seq_par_size} x "
         f"tp {tensor_par_size}) != #devices {len(devices)}"
     )
-    arr = np.asarray(devices).reshape(
+    shape = (
         pipe_par_size,
         simple_ddp_size,
         expert_par_size,
@@ -116,7 +116,63 @@ def make_mesh(
         seq_par_size,
         tensor_par_size,
     )
+    arr = _assign_devices(shape, list(devices))
     return Mesh(arr, MESH_AXES)
+
+
+def _dcn_factorization(shape: Sequence[int], num_slices: int):
+    """Split each global axis size into (across-DCN, within-slice) factors.
+
+    Greedy from the OUTERMOST axis in (pp, ddp, ep, fsdp, sp, tp): pp's
+    neighbor-only ppermute and ddp's once-per-step gradient all-reduce are
+    the collectives that tolerate DCN latency, while fsdp/sp/tp per-layer
+    collectives must stay on ICI. Returns (dcn_shape, per_slice_shape) or
+    None if num_slices does not factor into the outer axes.
+    """
+    import math
+
+    dcn, per_slice, remaining = [], [], num_slices
+    for size in shape:
+        f = math.gcd(size, remaining)
+        dcn.append(f)
+        per_slice.append(size // f)
+        remaining //= f
+    if remaining != 1:
+        return None
+    return tuple(dcn), tuple(per_slice)
+
+
+def _assign_devices(shape: Sequence[int], devices: list) -> np.ndarray:
+    """Lay the devices out on `shape` with the best physical assignment.
+
+    - Multi-slice TPU (devices carry distinct `slice_index`es): hybrid
+      ICI+DCN mesh — outer axes (pp, then ddp, ...) span slices over DCN,
+      inner axes stay within a slice on ICI.
+    - Single slice: `mesh_utils.create_device_mesh`, which searches the
+      physical torus for an assignment where each mesh dim rides contiguous
+      ICI rings (raw `jax.devices()` order gives tp nearest-neighbor links
+      only by accident of device numbering).
+    - Anything it cannot handle (CPU meshes, partial-host device subsets):
+      row-major reshape, which is exactly the virtual-device test layout.
+    """
+    from jax.experimental import mesh_utils
+
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        fact = _dcn_factorization(shape, len(slice_ids))
+        assert fact is not None, (
+            f"{len(slice_ids)} slices must factor into the outer mesh axes "
+            f"(pp, ddp, ep, ...) = {tuple(shape)}; raise pipe_par_size / "
+            f"simple_ddp_size to span DCN"
+        )
+        dcn_shape, per_slice = fact
+        return mesh_utils.create_hybrid_device_mesh(
+            per_slice, dcn_shape, devices=devices
+        )
+    try:
+        return mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+    except (ValueError, NotImplementedError, AssertionError):
+        return np.asarray(devices).reshape(shape)
 
 
 def mesh_from_config(parallelism: dict, devices=None) -> Mesh:
