@@ -144,3 +144,98 @@ def test_diffusion_sampling_3d_png(tmp_path):
     sps = generate_diffusion(cfg, num_samples=1, png_dir=png_dir)
     assert np.isfinite(sps)
     assert os.path.exists(os.path.join(png_dir, "generated_0.png"))
+
+
+def _unetr_cfg(twoD=True, adaptive=False):
+    from tests.test_trainer import _cfg
+
+    init = {
+        "tile_size": [32, 32] if twoD else [16, 16, 16],
+        "patch_size": 4,
+        "embed_dim": 24,
+        "depth": 4,  # skip connections take intermediates at d/4 steps
+        "num_heads": 2,
+        "twoD": twoD,
+        "num_classes": 2,
+        "feature_size": 4,
+        "skip_connection": True,
+    }
+    if adaptive:
+        init.update(adaptive_patching=True,
+                    fixed_length=16 if twoD else 8,
+                    use_adaptive_pos_emb=True)
+    return _cfg("unetr", extra_init=init, extra_data={"num_classes": 2})
+
+
+def test_sliding_window_matches_direct_on_exact_tile():
+    """overlap-0 sliding window on a volume exactly one tile big must equal
+    the plain tile forward's argmax (same deterministic init, key 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucf_vit_tpu.inference import predict_volume
+    from ucf_vit_tpu.tasks import build_task
+    from ucf_vit_tpu.train import _init_variables, example_batch
+    from ucf_vit_tpu.parallel.train_step import unbox
+
+    cfg = _unetr_cfg(twoD=True)
+    rng = np.random.default_rng(0)
+    vol = rng.random((1, 32, 32)).astype(np.float32)
+
+    model, _ = build_task(cfg)
+    ex = example_batch(cfg, 1)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "mask": jax.random.key(2)}
+    params = unbox(_init_variables(model, rngs, cfg, ex, None)["params"])
+    logits = model.apply({"params": params}, jnp.asarray(vol)[None],
+                         None, None, None)
+    direct = np.argmax(np.asarray(logits[0]), axis=0)
+
+    sw = predict_volume(cfg, vol, params=params, overlap=0.0, sw_batch=2)
+    np.testing.assert_array_equal(sw, direct)
+
+
+def test_sliding_window_stitches_larger_volume():
+    """A 48x40 image through 32x32 tiles at overlap 0.5: stitched shape ==
+    input shape, classes in range, and every voxel covered (no NaNs from
+    zero blend weight)."""
+    from ucf_vit_tpu.inference import predict_volume
+
+    cfg = _unetr_cfg(twoD=True)
+    vol = np.random.default_rng(1).random((1, 48, 40)).astype(np.float32)
+    pred = predict_volume(cfg, vol, overlap=0.5, sw_batch=3)
+    assert pred.shape == (48, 40)
+    assert pred.dtype == np.int32
+    assert set(np.unique(pred)) <= {0, 1}
+
+
+def test_sliding_window_pads_small_dims_3d_adaptive():
+    """3D adaptive path: a volume smaller than the tile in one dim is
+    reflect-padded, each window patchifies through the training
+    serializer, and the crop restores the input's spatial shape."""
+    from ucf_vit_tpu.inference import predict_volume
+
+    cfg = _unetr_cfg(twoD=False, adaptive=True)
+    vol = np.random.default_rng(2).random((1, 20, 16, 12)).astype(np.float32)
+    pred = predict_volume(cfg, vol, overlap=0.25, sw_batch=2)
+    assert pred.shape == (20, 16, 12)
+    assert set(np.unique(pred)) <= {0, 1}
+
+
+def test_sliding_window_cli(tmp_path):
+    """--volume through the real CLI: stitched class map lands on disk."""
+    import yaml
+
+    from ucf_vit_tpu.inference import main
+
+    cfg = _unetr_cfg(twoD=True)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.raw, f)
+    vol_path = str(tmp_path / "vol.npy")
+    np.save(vol_path, np.random.default_rng(3).random((1, 40, 36)).astype(np.float32))
+    out = str(tmp_path / "pred.npy")
+    main([cfg_path, "--volume", vol_path, "--volume-out", out,
+          "--sw-overlap", "0.5", "--sw-batch", "2"])
+    pred = np.load(out)
+    assert pred.shape == (40, 36)

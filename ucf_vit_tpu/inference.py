@@ -10,6 +10,8 @@ pred-vs-label PNGs (`:426-457`).
 Usage: python -m ucf_vit_tpu.inference <config.yaml> [--checkpoint DIR]
            [--mae-checkpoint DIR] [--synthetic] [--num-samples N]
            [--png-dir DIR]
+           [--volume vol.npy [--volume-out pred.npy] [--sw-overlap F]
+            [--sw-batch N]]  # sliding-window stitched segmentation
 """
 
 from __future__ import annotations
@@ -338,6 +340,146 @@ def _save_panels(png_dir: str, name: str, panels, cmap=None):
     plt.close(fig)
 
 
+# ---------------------------------------------------------------------------
+# sliding-window stitched volume inference (capability-plus: the reference
+# evaluates per-tile only — production segmentation must stitch volumes
+# larger than the training tile; this is the MONAI sliding_window_inference
+# role its scripts import MONAI for but never use)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_importance(tile, sigma_scale: float = 0.125) -> np.ndarray:
+    """Per-voxel blend weight for one window: separable Gaussian centered on
+    the tile (MONAI convention, sigma = sigma_scale * dim), max 1, floored
+    so edge voxels covered by a single window still get full weight."""
+    w = np.ones(tile, np.float32)
+    for d, n in enumerate(tile):
+        x = np.arange(n, dtype=np.float32) - (n - 1) / 2.0
+        g = np.exp(-0.5 * (x / (sigma_scale * n)) ** 2)
+        w *= g.reshape((1,) * d + (-1,) + (1,) * (len(tile) - d - 1))
+    return np.maximum(w / w.max(), 1e-3)
+
+
+def _window_starts(dim: int, tile: int, stride: int):
+    starts = list(range(0, max(dim - tile, 0) + 1, stride))
+    if starts[-1] != dim - tile:
+        starts.append(dim - tile)  # final window flush with the far edge
+    return starts
+
+
+def predict_volume(cfg, volume: np.ndarray,
+                   checkpoint_dir: Optional[str] = None,
+                   params=None, overlap: float = 0.5, sw_batch: int = 4,
+                   use_ema: bool = False,
+                   blend: str = "gaussian") -> np.ndarray:
+    """Segment a whole volume/image larger than the training tile.
+
+    Slides a `cfg.tile_size` window with stride `tile * (1 - overlap)`,
+    runs the SAME fixed-shape jitted tile forward the eval path uses
+    (windows batched `sw_batch` at a time — one XLA executable total),
+    accumulates softmax probabilities under a Gaussian importance map, and
+    argmaxes the blended field. Adaptive configs patchify each window with
+    the training pipeline's serializer (`serve.make_preprocessor`), so token
+    layouts match training exactly.
+
+    volume: float32 `[C, *spatial]`, every spatial dim >= 1 (smaller than
+    the tile is reflect-padded). Returns int32 `[*spatial]` class map.
+    """
+    assert cfg.task == "unetr", (
+        "sliding-window stitching needs image-space tile logits; SAP "
+        "predicts in the sqrt-len pseudo-image space (use evaluate())"
+    )
+    assert 0.0 <= overlap < 1.0, f"overlap must be in [0, 1), got {overlap}"
+    from ucf_vit_tpu.serve import make_preprocessor
+
+    model, _ = build_task(cfg)
+    nd = 2 if cfg.twoD else 3
+    tile = tuple(int(t) for t in cfg.tile_size[:nd])
+    volume = np.asarray(volume, np.float32)
+    assert volume.ndim == nd + 1, (
+        f"volume must be [C, *{nd}d spatial], got shape {volume.shape}"
+    )
+
+    ex = example_batch(cfg, sw_batch)
+    var_ids = (
+        model.get_var_ids(ex["variables"])
+        if cfg.init_args.get("use_varemb", False)
+        else None
+    )
+    if params is None:
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "mask": jax.random.key(2)}
+        params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+        if checkpoint_dir:
+            payload = ckpt.restore_checkpoint(
+                checkpoint_dir,
+                cfg.trainer.get("checkpoint_filename_for_loading", ""),
+                expect_head_meta=ckpt.head_meta_from_config(cfg),
+            )
+            params = _params_from_payload(payload, use_ema)
+
+    sqrt_len, p = cfg.sqrt_len, cfg.patch_size
+
+    @jax.jit
+    def tile_probs(params, batch):
+        x = jnp.asarray(batch["x"])
+        if cfg.adaptive_patching:
+            seq = reassemble_sqrt_len(
+                jnp.asarray(batch["seq"]), sqrt_len, p, cfg.twoD
+            )
+            logits = model.apply(
+                {"params": params}, x, var_ids, _seq_ps(batch), seq
+            )
+        else:
+            logits = model.apply({"params": params}, x, var_ids, None, None)
+        return jax.nn.softmax(logits, axis=1)
+
+    # reflect-pad any spatial dim smaller than the tile
+    pad = [(0, 0)] + [(0, max(t - s, 0)) for t, s in zip(tile, volume.shape[1:])]
+    vol = np.pad(volume, pad, mode="reflect") if any(
+        p1 for _, p1 in pad
+    ) else volume
+    spatial = vol.shape[1:]
+
+    strides = [max(1, int(round(t * (1.0 - overlap)))) for t in tile]
+    starts = [_window_starts(s, t, st)
+              for s, t, st in zip(spatial, tile, strides)]
+    corners = [c for c in _product(*starts)]
+
+    pre = make_preprocessor(cfg)
+    w_map = (_gaussian_importance(tile) if blend == "gaussian"
+             else np.ones(tile, np.float32))
+    num_classes = int(
+        cfg.init_args.get("num_classes", cfg.data.get("num_classes"))
+    )
+    probs_acc = np.zeros((num_classes,) + spatial, np.float32)
+    w_acc = np.zeros(spatial, np.float32)
+
+    for i in range(0, len(corners), sw_batch):
+        chunk = corners[i:i + sw_batch]
+        samples = []
+        for c0 in chunk:
+            sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
+            samples.append(pre(vol[(slice(None),) + sl]))
+        while len(samples) < sw_batch:  # fixed-shape pad; extras discarded
+            samples.append(samples[-1])
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        probs = np.asarray(tile_probs(params, batch), np.float32)
+        for j, c0 in enumerate(chunk):
+            sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
+            probs_acc[(slice(None),) + sl] += probs[j] * w_map
+            w_acc[sl] += w_map
+    pred = np.argmax(probs_acc / w_acc, axis=0).astype(np.int32)
+    crop = tuple(slice(0, s) for s in volume.shape[1:])
+    return pred[crop]
+
+
+def _product(*iterables):
+    import itertools
+
+    return itertools.product(*iterables)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="ucf_vit_tpu inference/eval")
     parser.add_argument("config")
@@ -351,8 +493,29 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--ema", action="store_true",
                         help="evaluate the EMA weights (trainer.ema_decay)")
+    parser.add_argument("--volume", default=None,
+                        help="path to a [C, *spatial] .npy volume: run "
+                             "sliding-window stitched segmentation instead "
+                             "of per-tile eval (unetr only)")
+    parser.add_argument("--volume-out", default=None,
+                        help="where to save the int32 class map .npy "
+                             "(default: <volume>.pred.npy)")
+    parser.add_argument("--sw-overlap", type=float, default=0.5)
+    parser.add_argument("--sw-batch", type=int, default=4)
     args = parser.parse_args(argv)
     cfg = load_config(args.config, task=args.task)
+    if args.volume:
+        vol = np.load(args.volume)
+        pred = predict_volume(
+            cfg, vol, args.checkpoint, overlap=args.sw_overlap,
+            sw_batch=args.sw_batch, use_ema=args.ema,
+        )
+        out = args.volume_out or (args.volume + ".pred.npy")
+        np.save(out, pred)
+        vals, counts = np.unique(pred, return_counts=True)
+        print(f"stitched {vol.shape[1:]} -> {out}; class voxels "
+              f"{dict(zip(vals.tolist(), counts.tolist()))}", flush=True)
+        return
     evaluate(cfg, args.checkpoint, args.mae_checkpoint, args.synthetic,
              args.num_samples, args.png_dir, args.batch_size,
              use_ema=args.ema)
