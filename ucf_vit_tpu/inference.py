@@ -367,111 +367,160 @@ def _window_starts(dim: int, tile: int, stride: int):
     return starts
 
 
+class VolumePredictor:
+    """Reusable sliding-window segmenter: holds the model, params, and ONE
+    jitted fixed-shape tile forward across volumes.
+
+    A deployment segments many volumes with the same weights; rebuilding the
+    model / re-initializing params / re-tracing the jit closure per volume
+    (what a bare function would do) costs seconds per call. Construct once,
+    call per volume. `predict_volume` below wraps this for one-shot use.
+    """
+
+    def __init__(self, cfg, checkpoint_dir: Optional[str] = None,
+                 params=None, sw_batch: int = 4, use_ema: bool = False,
+                 blend: str = "gaussian"):
+        assert cfg.task == "unetr", (
+            "sliding-window stitching needs image-space tile logits; SAP "
+            "predicts in the sqrt-len pseudo-image space (use evaluate())"
+        )
+        from ucf_vit_tpu.serve import make_preprocessor
+
+        self.cfg = cfg
+        self.sw_batch = int(sw_batch)
+        model, _ = build_task(cfg)
+        self.model = model
+        nd = 2 if cfg.twoD else 3
+        self.nd = nd
+        self.tile = tuple(int(t) for t in cfg.tile_size[:nd])
+
+        ex = example_batch(cfg, self.sw_batch)
+        self.var_ids = (
+            model.get_var_ids(ex["variables"])
+            if cfg.init_args.get("use_varemb", False)
+            else None
+        )
+        if params is None:
+            rngs = {"params": jax.random.key(0),
+                    "dropout": jax.random.key(1), "mask": jax.random.key(2)}
+            params = unbox(
+                _init_variables(model, rngs, cfg, ex, self.var_ids)["params"]
+            )
+            if checkpoint_dir:
+                payload = ckpt.restore_checkpoint(
+                    checkpoint_dir,
+                    cfg.trainer.get("checkpoint_filename_for_loading", ""),
+                    expect_head_meta=ckpt.head_meta_from_config(cfg),
+                )
+                params = _params_from_payload(payload, use_ema)
+        self.params = jax.device_put(params)
+
+        sqrt_len, p = cfg.sqrt_len, cfg.patch_size
+        var_ids = self.var_ids
+
+        @jax.jit
+        def tile_probs(params, batch):
+            x = jnp.asarray(batch["x"])
+            if cfg.adaptive_patching:
+                seq = reassemble_sqrt_len(
+                    jnp.asarray(batch["seq"]), sqrt_len, p, cfg.twoD
+                )
+                logits = model.apply(
+                    {"params": params}, x, var_ids, _seq_ps(batch), seq
+                )
+            else:
+                logits = model.apply(
+                    {"params": params}, x, var_ids, None, None
+                )
+            return jax.nn.softmax(logits, axis=1)
+
+        self._tile_probs = tile_probs
+        self._pre = make_preprocessor(cfg)
+        self._w_map = (_gaussian_importance(self.tile)
+                       if blend == "gaussian"
+                       else np.ones(self.tile, np.float32))
+        self.num_classes = int(
+            cfg.init_args.get("num_classes", cfg.data.get("num_classes"))
+        )
+
+    def __call__(self, volume: np.ndarray,
+                 overlap: float = 0.5) -> np.ndarray:
+        """Segment one `[C, *spatial]` float32 volume; returns an int32
+        `[*spatial]` class map. Spatial dims smaller than the tile are
+        reflect-padded and cropped back."""
+        assert 0.0 <= overlap < 1.0, (
+            f"overlap must be in [0, 1), got {overlap}"
+        )
+        nd, tile, sw_batch = self.nd, self.tile, self.sw_batch
+        volume = np.asarray(volume, np.float32)
+        assert volume.ndim == nd + 1, (
+            f"volume must be [C, *{nd}d spatial], got shape {volume.shape}"
+        )
+
+        # reflect-pad any spatial dim smaller than the tile
+        pad = [(0, 0)] + [(0, max(t - s, 0))
+                          for t, s in zip(tile, volume.shape[1:])]
+        vol = np.pad(volume, pad, mode="reflect") if any(
+            p1 for _, p1 in pad
+        ) else volume
+        spatial = vol.shape[1:]
+
+        strides = [max(1, int(round(t * (1.0 - overlap)))) for t in tile]
+        starts = [_window_starts(s, t, st)
+                  for s, t, st in zip(spatial, tile, strides)]
+        corners = [c for c in _product(*starts)]
+
+        w_map = self._w_map
+        probs_acc = np.zeros((self.num_classes,) + spatial, np.float32)
+        w_acc = np.zeros(spatial, np.float32)
+
+        # overlap host work with device compute: preprocess + dispatch chunk
+        # i+1 while chunk i's probs are still in flight, fetch one behind
+        def make_batch(i):
+            chunk = corners[i:i + sw_batch]
+            samples = []
+            for c0 in chunk:
+                sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
+                samples.append(self._pre(vol[(slice(None),) + sl]))
+            while len(samples) < sw_batch:  # fixed-shape pad; extras dropped
+                samples.append(samples[-1])
+            return chunk, {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
+
+        def accumulate(chunk, probs):
+            probs = np.asarray(probs, np.float32)
+            for j, c0 in enumerate(chunk):
+                sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
+                probs_acc[(slice(None),) + sl] += probs[j] * w_map
+                w_acc[sl] += w_map
+
+        in_flight = None
+        for i in range(0, len(corners), sw_batch):
+            chunk, batch = make_batch(i)
+            probs = self._tile_probs(self.params, batch)  # async dispatch
+            if in_flight is not None:
+                accumulate(*in_flight)
+            in_flight = (chunk, probs)
+        if in_flight is not None:
+            accumulate(*in_flight)
+        pred = np.argmax(probs_acc / w_acc, axis=0).astype(np.int32)
+        crop = tuple(slice(0, s) for s in volume.shape[1:])
+        return pred[crop]
+
+
 def predict_volume(cfg, volume: np.ndarray,
                    checkpoint_dir: Optional[str] = None,
                    params=None, overlap: float = 0.5, sw_batch: int = 4,
                    use_ema: bool = False,
                    blend: str = "gaussian") -> np.ndarray:
-    """Segment a whole volume/image larger than the training tile.
-
-    Slides a `cfg.tile_size` window with stride `tile * (1 - overlap)`,
-    runs the SAME fixed-shape jitted tile forward the eval path uses
-    (windows batched `sw_batch` at a time — one XLA executable total),
-    accumulates softmax probabilities under a Gaussian importance map, and
-    argmaxes the blended field. Adaptive configs patchify each window with
-    the training pipeline's serializer (`serve.make_preprocessor`), so token
-    layouts match training exactly.
-
-    volume: float32 `[C, *spatial]`, every spatial dim >= 1 (smaller than
-    the tile is reflect-padded). Returns int32 `[*spatial]` class map.
-    """
-    assert cfg.task == "unetr", (
-        "sliding-window stitching needs image-space tile logits; SAP "
-        "predicts in the sqrt-len pseudo-image space (use evaluate())"
-    )
-    assert 0.0 <= overlap < 1.0, f"overlap must be in [0, 1), got {overlap}"
-    from ucf_vit_tpu.serve import make_preprocessor
-
-    model, _ = build_task(cfg)
-    nd = 2 if cfg.twoD else 3
-    tile = tuple(int(t) for t in cfg.tile_size[:nd])
-    volume = np.asarray(volume, np.float32)
-    assert volume.ndim == nd + 1, (
-        f"volume must be [C, *{nd}d spatial], got shape {volume.shape}"
-    )
-
-    ex = example_batch(cfg, sw_batch)
-    var_ids = (
-        model.get_var_ids(ex["variables"])
-        if cfg.init_args.get("use_varemb", False)
-        else None
-    )
-    if params is None:
-        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-                "mask": jax.random.key(2)}
-        params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
-        if checkpoint_dir:
-            payload = ckpt.restore_checkpoint(
-                checkpoint_dir,
-                cfg.trainer.get("checkpoint_filename_for_loading", ""),
-                expect_head_meta=ckpt.head_meta_from_config(cfg),
-            )
-            params = _params_from_payload(payload, use_ema)
-
-    sqrt_len, p = cfg.sqrt_len, cfg.patch_size
-
-    @jax.jit
-    def tile_probs(params, batch):
-        x = jnp.asarray(batch["x"])
-        if cfg.adaptive_patching:
-            seq = reassemble_sqrt_len(
-                jnp.asarray(batch["seq"]), sqrt_len, p, cfg.twoD
-            )
-            logits = model.apply(
-                {"params": params}, x, var_ids, _seq_ps(batch), seq
-            )
-        else:
-            logits = model.apply({"params": params}, x, var_ids, None, None)
-        return jax.nn.softmax(logits, axis=1)
-
-    # reflect-pad any spatial dim smaller than the tile
-    pad = [(0, 0)] + [(0, max(t - s, 0)) for t, s in zip(tile, volume.shape[1:])]
-    vol = np.pad(volume, pad, mode="reflect") if any(
-        p1 for _, p1 in pad
-    ) else volume
-    spatial = vol.shape[1:]
-
-    strides = [max(1, int(round(t * (1.0 - overlap)))) for t in tile]
-    starts = [_window_starts(s, t, st)
-              for s, t, st in zip(spatial, tile, strides)]
-    corners = [c for c in _product(*starts)]
-
-    pre = make_preprocessor(cfg)
-    w_map = (_gaussian_importance(tile) if blend == "gaussian"
-             else np.ones(tile, np.float32))
-    num_classes = int(
-        cfg.init_args.get("num_classes", cfg.data.get("num_classes"))
-    )
-    probs_acc = np.zeros((num_classes,) + spatial, np.float32)
-    w_acc = np.zeros(spatial, np.float32)
-
-    for i in range(0, len(corners), sw_batch):
-        chunk = corners[i:i + sw_batch]
-        samples = []
-        for c0 in chunk:
-            sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
-            samples.append(pre(vol[(slice(None),) + sl]))
-        while len(samples) < sw_batch:  # fixed-shape pad; extras discarded
-            samples.append(samples[-1])
-        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        probs = np.asarray(tile_probs(params, batch), np.float32)
-        for j, c0 in enumerate(chunk):
-            sl = tuple(slice(a, a + t) for a, t in zip(c0, tile))
-            probs_acc[(slice(None),) + sl] += probs[j] * w_map
-            w_acc[sl] += w_map
-    pred = np.argmax(probs_acc / w_acc, axis=0).astype(np.int32)
-    crop = tuple(slice(0, s) for s in volume.shape[1:])
-    return pred[crop]
+    """One-shot wrapper over `VolumePredictor` (see its docstring). For
+    segmenting many volumes with the same weights, construct a
+    `VolumePredictor` once and call it per volume instead."""
+    predictor = VolumePredictor(cfg, checkpoint_dir=checkpoint_dir,
+                                params=params, sw_batch=sw_batch,
+                                use_ema=use_ema, blend=blend)
+    return predictor(volume, overlap=overlap)
 
 
 def _product(*iterables):
