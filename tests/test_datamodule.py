@@ -9,6 +9,7 @@ shard 0 (1/data_par of the data) and only trained group 0's dataset."""
 import os
 
 import numpy as np
+import pytest
 
 from ucf_vit_tpu.data.datamodule import DataModule
 
@@ -157,3 +158,21 @@ def test_loop_mode_schedule_is_process_invariant(tmp_path):
     keys1 = [b["dict_key"] for b in itertools.islice(dm1.train_dataloader(loop=True), n)]
     assert keys0 == keys1, f"schedules diverged: {keys0} vs {keys1}"
     assert set(keys0) == {"small", "big"}
+
+
+def test_prefetcher_propagates_worker_exception():
+    """A reader crash must surface in the consuming thread, not silently end
+    the epoch early (the old behavior: worker died -> sentinel -> clean stop,
+    so training proceeded on a truncated/empty epoch)."""
+    from ucf_vit_tpu.data.datamodule import Prefetcher
+
+    def gen():
+        yield 1
+        yield 2
+        raise FileNotFoundError("missing label file")
+
+    got = []
+    with pytest.raises(FileNotFoundError, match="missing label"):
+        for x in Prefetcher(gen(), depth=2):
+            got.append(x)
+    assert got == [1, 2]

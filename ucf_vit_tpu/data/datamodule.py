@@ -55,11 +55,14 @@ class Prefetcher:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        err: list = []  # worker exception, re-raised on the consumer side
 
         def worker():
             try:
                 for item in self.iterable:
                     q.put(item)
+            except BaseException as e:  # noqa: BLE001 — must not turn a
+                err.append(e)  # reader crash into a silent short epoch
             finally:
                 q.put(sentinel)
 
@@ -68,6 +71,8 @@ class Prefetcher:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise err[0]
                 break
             yield item
 

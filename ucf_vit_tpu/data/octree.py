@@ -129,7 +129,29 @@ class FixedOctTree:
         self.domain = domain
         self.fixed_length = fixed_length
         self.norm_factor = norm_factor
+        self._lazy_boxes = None  # [n_leaves, 6] int32 from the native build
+        self._lazy_vals = None
+        self._nodes = None
         self._build_tree()
+
+    @property
+    def nodes(self):
+        """List of [Cube, value] leaves. Materialized lazily on the native
+        build path: the hot serialize loop reads raw boxes (`_boxes_array`),
+        so per-leaf Cube objects (~5 ms/sample at L=729) are built only for
+        consumers that actually walk them (deserialize, visualization)."""
+        if self._nodes is None:
+            self._nodes = [
+                [Cube(*b), v]
+                for b, v in zip(
+                    self._lazy_boxes.tolist(), self._lazy_vals.tolist()
+                )
+            ]
+        return self._nodes
+
+    @nodes.setter
+    def nodes(self, value):
+        self._nodes = value
 
     def _build_tree(self):
         h, w, d = self.domain.shape
@@ -147,11 +169,7 @@ class FixedOctTree:
         except Exception:
             built = None
         if built is not None:
-            boxes, vals = built
-            self.nodes = [
-                [Cube(*(int(x) for x in b)), int(v)]
-                for b, v in zip(boxes, vals)
-            ]
+            self._lazy_boxes, self._lazy_vals = built
             return
 
         sat = _svt(self.domain)
@@ -199,12 +217,36 @@ class FixedOctTree:
         self.nodes = leaves
 
     def count_patches(self):
+        if self._lazy_boxes is not None:
+            return int(self._lazy_boxes.shape[0])
         return len(self.nodes)
+
+    def _boxes_array(self) -> np.ndarray:
+        """[n_leaves, 6] int32 (x1,x2,y1,y2,z1,z2) view of the leaf cubes."""
+        if self._lazy_boxes is not None:
+            return self._lazy_boxes
+        return np.asarray(
+            [c.get_coord() for c, _ in self.nodes], dtype=np.int32
+        ).reshape(-1, 6)
 
     def _serialize(self, img: np.ndarray, size, nearest: bool):
         h2, w2, d2, c2 = size
         resize_native = None
         if h2 == w2 == d2:
+            # batched native path: the whole leaf loop (slice + resample +
+            # pad) in one C call — numerically identical to the per-leaf
+            # native resample below, ~10x less Python/ctypes overhead
+            try:
+                from ucf_vit_tpu.native import octree_serialize_native
+
+                batched = octree_serialize_native(
+                    np.ascontiguousarray(img, np.float32),
+                    self._boxes_array(), self.fixed_length, h2, nearest,
+                )
+            except Exception:
+                batched = None
+            if batched is not None:
+                return batched
             try:
                 from ucf_vit_tpu.native import resize3d_native as resize_native
             except Exception:

@@ -114,11 +114,21 @@ class Patchify3D:
         `transform.py:70-116` including the cross-channel max rules."""
         from scipy.ndimage import gaussian_filter
 
-        grey = gaussian_filter(img, sigma=(smooth, smooth, smooth, 0))
+        grey = None
+        if smooth > 0 and img.dtype == np.float32:
+            try:  # native separable gaussian, scipy-bit-exact (~7x faster)
+                from ucf_vit_tpu.native import gaussian3d_native
+
+                grey = gaussian3d_native(img, float(smooth))
+            except Exception:
+                grey = None
+        if grey is None:
+            grey = gaussian_filter(img, sigma=(smooth, smooth, smooth, 0))
         nslices = grey.shape[0]
-        grad_dir = np.zeros_like(grey[:, :, :, 0])
-        edges_combined = np.zeros_like(grey[:, :, :, 0], dtype=bool)
-        edges_counter = np.zeros_like(grey[:, :, :, 0], dtype=np.uint8)
+        edges_combined = np.zeros(grey.shape[:3], dtype=bool)
+        edges_counter = np.zeros(grey.shape[:3], dtype=np.uint8)
+        slice_sobel = []  # (sobelx, sobely) per slice; arctan2 deferred
+        grey_u8 = (grey * 255).astype(np.uint8)  # Canny input, whole volume
 
         for i in range(nslices):
             sobelx = sobely = g_mag = None
@@ -127,25 +137,35 @@ class Patchify3D:
                 sy = cv.Sobel(grey[i, :, :, j], cv.CV_64F, 0, 1, ksize=5)
                 if j == 0:
                     sobelx, sobely = sx, sy
-                    g_mag = np.sqrt(sx**2 + sy**2)
+                    if self.num_channels > 1:  # g_mag only feeds the j>0
+                        g_mag = np.sqrt(sx**2 + sy**2)  # channel-max rule
                 else:
                     if np.mean(np.sqrt(sx**2 + sy**2)) > np.mean(g_mag):
                         sobelx = sx
                     if np.mean(sy) > np.mean(sobely):
                         sobely = sy
-            grad_dir[i] = np.arctan2(sobely, sobelx)
+            slice_sobel.append((sobelx, sobely))
 
             canny_edges = None
             for j in range(self.num_channels):
                 canny = cv.Canny(
-                    (grey[i, :, :, j] * 255).astype(np.uint8), canny_lo, canny_lo + 50
+                    np.ascontiguousarray(grey_u8[i, :, :, j]),
+                    canny_lo, canny_lo + 50,
                 )
                 canny_edges = canny if j == 0 else canny_edges + canny
                 edges_counter[i] += (canny > 0).astype(np.uint8)
             edges_combined[i] = canny_edges > 0
 
-        edge_dir = np.zeros_like(grad_dir)
-        edge_dir[edges_combined] = grad_dir[edges_combined]
+        # arctan2 only where an edge was detected (identical result: edge_dir
+        # is zero off-edges either way; the full-volume grad_dir the reference
+        # materializes is read only through this mask — dtype matches grey so
+        # the float32 cast happens at the same single point as before)
+        edge_dir = np.zeros(grey.shape[:3], dtype=grey.dtype)
+        for i in range(nslices):
+            m = edges_combined[i]
+            if m.any():
+                sobelx, sobely = slice_sobel[i]
+                edge_dir[i][m] = np.arctan2(sobely[m], sobelx[m])
         rng_span = edge_dir.max() - edge_dir.min()
         if rng_span == 0:
             normalized = np.zeros_like(edge_dir)

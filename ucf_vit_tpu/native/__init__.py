@@ -70,6 +70,17 @@ def get_lib():
         lib.resize3d.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
         ]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.octree_serialize.restype = None
+        lib.octree_serialize.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, i64p, f64p,
+        ]
+        lib.gaussian3d.restype = None
+        lib.gaussian3d.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f64p, ctypes.c_int, f32p,
+        ]
         _lib = lib
         return _lib
 
@@ -80,8 +91,11 @@ def quadtree_boxes(edges: np.ndarray, fixed_length: int) -> Optional[np.ndarray]
     if lib is None:
         return None
     edges8 = np.ascontiguousarray(edges, dtype=np.uint8)
-    out = np.empty((fixed_length, 4), np.int32)
-    vals = np.empty((fixed_length,), np.int64)
+    # the split loop runs while count < fixed_length and adds 3 leaves per
+    # split, so the leaf count may overshoot by up to 2 (same semantics as
+    # the numpy fallback) — size the output for the worst case
+    out = np.empty((fixed_length + 2, 4), np.int32)
+    vals = np.empty((fixed_length + 2,), np.int64)
     n = lib.quadtree_build(
         edges8, edges8.shape[0], edges8.shape[1], fixed_length, out, vals
     )
@@ -97,8 +111,11 @@ def octree_boxes(
         return None
     assert edges.shape[0] == edges.shape[1] == edges.shape[2]
     edges8 = np.ascontiguousarray(edges, dtype=np.uint8)
-    out = np.empty((fixed_length, 6), np.int32)
-    vals = np.empty((fixed_length,), np.int64)
+    # splits add 7 leaves each while count < fixed_length, so the leaf count
+    # may overshoot fixed_length by up to 6 (matching the numpy fallback) —
+    # size the output for the worst case
+    out = np.empty((fixed_length + 6, 6), np.int32)
+    vals = np.empty((fixed_length + 6,), np.int64)
     n = lib.octree_build(
         edges8, edges8.shape[0], norm_factor, fixed_length, out, vals
     )
@@ -120,3 +137,52 @@ def resize3d_native(
     out = np.empty((out_side, out_side, out_side, c), np.float32)
     lib.resize3d(v, n, c, out, out_side, int(nearest))
     return out
+
+
+def gaussian3d_native(img: np.ndarray, sigma: float):
+    """scipy.ndimage.gaussian_filter(img, sigma=(s,s,s,0), mode='reflect')
+    bit-exact, for [n0,n1,n2,c] float32 volumes. Returns None when the
+    native library is unavailable (callers fall back to scipy)."""
+    lib = get_lib()
+    if lib is None or img.dtype != np.float32 or img.ndim != 4:
+        return None
+    try:
+        # scipy's own kernel so the weights are identical to the fallback
+        from scipy.ndimage._filters import _gaussian_kernel1d
+    except Exception:
+        return None
+    radius = int(4.0 * sigma + 0.5)  # scipy default truncate=4.0
+    w = np.ascontiguousarray(_gaussian_kernel1d(sigma, 0, radius)[::-1])
+    v = np.ascontiguousarray(img)
+    out = np.empty_like(v)
+    n0, n1, n2, c = v.shape
+    lib.gaussian3d(v, n0, n1, n2, c, w, radius, out)
+    return out
+
+
+def octree_serialize_native(
+    img: np.ndarray, boxes: np.ndarray, fixed_length: int, out_side: int,
+    nearest: bool = False,
+):
+    """Batched leaf serialization: one call for the whole octree serialize
+    loop (slice + resample + pad). img: [n,n,n,c]; boxes: [n_leaves, 6]
+    int32 (x1..z2). Returns (seq_patch [L,m,m,m,c] f32, sizes [L] i64,
+    pos [L,3] f64) or None when the native library is unavailable.
+    Numerically identical to calling resize3d_native per leaf."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not (img.shape[0] == img.shape[1] == img.shape[2]):
+        return None
+    v = np.ascontiguousarray(img, dtype=np.float32)
+    b = np.ascontiguousarray(boxes, dtype=np.int32)
+    n, c, m = v.shape[0], v.shape[3], out_side
+    n_boxes = b.shape[0]
+    assert n_boxes <= fixed_length
+    dst = np.empty((fixed_length, m, m, m, c), np.float32)
+    sizes = np.empty((fixed_length,), np.int64)
+    pos = np.empty((fixed_length, 3), np.float64)
+    lib.octree_serialize(
+        v, n, c, b, n_boxes, fixed_length, m, int(nearest), dst, sizes, pos
+    )
+    return dst, sizes, pos

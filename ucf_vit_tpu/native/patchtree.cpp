@@ -201,11 +201,11 @@ int octree_build(const uint8_t* edges, int n, int64_t norm_factor,
 // Separable trilinear/nearest resample of [d1,h1,w1,c] f32 -> [m,m,m,c],
 // reproducing the reference RegularGridInterpolator grid convention
 // (source points linspace(0,n,n), queries linspace(0,n,m)) — octree.py:104+.
-void resize3d(const float* src, int n, int c, float* dst, int m, int nearest) {
-    if (n == m) {
-        std::memcpy(dst, src, sizeof(float) * (size_t)n * n * n * c);
-        return;
-    }
+// `sstride_z/y/x` are element strides of the (possibly non-contiguous)
+// source view; dst is contiguous [m,m,m,c].
+static void resize3d_strided(const float* src, int n, int c,
+                             size_t sz, size_t sy, size_t sx,
+                             float* dst, int m, int nearest) {
     std::vector<int> lo(m);
     std::vector<float> fr(m);
     if (n == 1) {
@@ -228,8 +228,17 @@ void resize3d(const float* src, int n, int c, float* dst, int m, int nearest) {
         }
     }
     auto S = [&](int z, int y, int x, int ch) -> float {
-        return src[(((size_t)z * n + y) * n + x) * c + ch];
+        return src[(size_t)z * sz + (size_t)y * sy + (size_t)x * sx + ch];
     };
+    if (n == m) {  // identity grid: straight strided copy
+        for (int z = 0; z < m; ++z)
+            for (int y = 0; y < m; ++y)
+                for (int x = 0; x < m; ++x)
+                    for (int ch = 0; ch < c; ++ch)
+                        dst[(((size_t)z * m + y) * m + x) * c + ch] =
+                            S(z, y, x, ch);
+        return;
+    }
     for (int z = 0; z < m; ++z)
         for (int y = 0; y < m; ++y)
             for (int x = 0; x < m; ++x)
@@ -251,6 +260,140 @@ void resize3d(const float* src, int n, int c, float* dst, int m, int nearest) {
                     dst[(((size_t)z * m + y) * m + x) * c + ch] =
                         c0 * (1 - fz) + c1 * fz;
                 }
+}
+
+void resize3d(const float* src, int n, int c, float* dst, int m, int nearest) {
+    if (n == m) {
+        std::memcpy(dst, src, sizeof(float) * (size_t)n * n * n * c);
+        return;
+    }
+    resize3d_strided(src, n, c, (size_t)n * n * c, (size_t)n * c, c,
+                     dst, m, nearest);
+}
+
+// Batched leaf serialization: the whole octree serialize loop in one call
+// (octree.py _serialize — per-leaf slice + trilinear/nearest resample +
+// zero/(-1) padding to fixed_length). img: [n,n,n,c] f32 contiguous;
+// boxes: [n_boxes, 6] int32 (x1,x2,y1,y2,z1,z2), cube slice convention is
+// img[z1:z2, y1:y2, x1:x2, :] (Cube.get_area — x spans the LAST spatial
+// dim). Writes dst [fixed_length, m,m,m,c] f32, sizes [fixed_length] i64
+// (leaf side, 0-padded), pos [fixed_length, 3] f64 (leaf centers
+// (x,y,z)/2, (-1,-1,-1)-padded).
+void octree_serialize(const float* img, int n, int c, const int32_t* boxes,
+                      int n_boxes, int fixed_length, int m, int nearest,
+                      float* dst, int64_t* sizes, double* pos) {
+    const size_t sz = (size_t)n * n * c;  // element stride, img dim 0 (z)
+    const size_t sy = (size_t)n * c;      // dim 1 (y)
+    const size_t sx = c;                  // dim 2 (x)
+    const size_t patch_elems = (size_t)m * m * m * c;
+    for (int i = 0; i < n_boxes; ++i) {
+        const int32_t* b = boxes + (size_t)i * 6;
+        int x1 = b[0], x2 = b[1], y1 = b[2], y2 = b[3], z1 = b[4], z2 = b[5];
+        int side = x2 - x1;  // leaves are cubic (asserted Python-side)
+        const float* src = img + (size_t)z1 * sz + (size_t)y1 * sy +
+                           (size_t)x1 * sx;
+        resize3d_strided(src, side, c, sz, sy, sx,
+                         dst + (size_t)i * patch_elems, m, nearest);
+        sizes[i] = side;
+        pos[(size_t)i * 3 + 0] = (x1 + x2) / 2.0;
+        pos[(size_t)i * 3 + 1] = (y1 + y2) / 2.0;
+        pos[(size_t)i * 3 + 2] = (z1 + z2) / 2.0;
+    }
+    for (int i = n_boxes; i < fixed_length; ++i) {
+        std::memset(dst + (size_t)i * patch_elems, 0,
+                    patch_elems * sizeof(float));
+        sizes[i] = 0;
+        pos[(size_t)i * 3 + 0] = -1.0;
+        pos[(size_t)i * 3 + 1] = -1.0;
+        pos[(size_t)i * 3 + 2] = -1.0;
+    }
+}
+
+// Separable 3D Gaussian blur on [n0,n1,n2,c] f32, bit-exact with
+// scipy.ndimage.gaussian_filter(img, sigma=(s,s,s,0), mode='reflect'):
+// per spatial axis, correlate each line with the symmetric kernel
+// (center*w0 + sum_k (left+right)*wk) accumulating in double, mirror
+// ('reflect'/np-'symmetric') boundary, ROUNDING TO F32 BETWEEN AXIS PASSES
+// (scipy applies gaussian_filter1d per axis on the f32 array). `weights`
+// is the full [2*radius+1] kernel as scipy computes it (_gaussian_kernel1d).
+static inline int mirror_fold(int i, int n) {
+    if (n == 1) return 0;
+    const int period = 2 * n;
+    i %= period;
+    if (i < 0) i += period;
+    return i < n ? i : period - 1 - i;
+}
+
+static void gauss_axis(const float* src, float* dst, int n0, int n1, int n2,
+                       int c, int axis, const double* w, int r) {
+    // line length and strides (in elements) for the chosen axis
+    int len = axis == 0 ? n0 : (axis == 1 ? n1 : n2);
+    size_t sa = axis == 0 ? (size_t)n1 * n2 * c
+                          : (axis == 1 ? (size_t)n2 * c : (size_t)c);
+    const double wc = w[r];
+    std::vector<double> line((size_t)len + 2 * r);
+    // iterate over all lines: the two non-axis spatial dims x channels
+    int d1 = axis == 0 ? n1 : n0;
+    int d2 = axis == 2 ? n1 : n2;
+    size_t s1 = axis == 0 ? (size_t)n2 * c : (size_t)n1 * n2 * c;
+    size_t s2 = axis == 2 ? (size_t)n2 * c : (size_t)c;
+    for (int i1 = 0; i1 < d1; ++i1)
+        for (int i2 = 0; i2 < d2; ++i2)
+            for (int ch = 0; ch < c; ++ch) {
+                const float* in = src + (size_t)i1 * s1 + (size_t)i2 * s2 + ch;
+                float* out = dst + (size_t)i1 * s1 + (size_t)i2 * s2 + ch;
+                for (int i = -r; i < len + r; ++i)
+                    line[(size_t)(i + r)] =
+                        in[(size_t)mirror_fold(i, len) * sa];
+                for (int i = 0; i < len; ++i) {
+                    const double* p = line.data() + i + r;
+                    double s = p[0] * wc;
+                    for (int k = 1; k <= r; ++k)
+                        s += (p[-k] + p[k]) * w[r - k];
+                    out[(size_t)i * sa] = (float)s;
+                }
+            }
+}
+
+// Cache-friendly variant for the leading axes: view the array as
+// [outer, len, inner] with `inner` contiguous, and for each output row
+// accumulate whole [inner] slabs (center*wc then k=1..r (left+right)*wk) —
+// identical per-element FP sequence to gauss_axis, vectorizable inner loops.
+static void gauss_axis_slab(const float* src, float* dst, int outer, int len,
+                            size_t inner, const double* w, int r) {
+    const double wc = w[r];
+    std::vector<double> acc(inner);
+    for (int o = 0; o < outer; ++o) {
+        const float* in = src + (size_t)o * len * inner;
+        float* out = dst + (size_t)o * len * inner;
+        for (int i = 0; i < len; ++i) {
+            const float* c0 = in + (size_t)i * inner;
+            for (size_t t = 0; t < inner; ++t) acc[t] = c0[t] * wc;
+            for (int k = 1; k <= r; ++k) {
+                const float* lp = in + (size_t)mirror_fold(i - k, len) * inner;
+                const float* rp = in + (size_t)mirror_fold(i + k, len) * inner;
+                const double wk = w[r - k];
+                for (size_t t = 0; t < inner; ++t)
+                    acc[t] += ((double)lp[t] + (double)rp[t]) * wk;
+            }
+            float* od = out + (size_t)i * inner;
+            for (size_t t = 0; t < inner; ++t) od[t] = (float)acc[t];
+        }
+    }
+}
+
+extern "C" void gaussian3d(const float* src, int n0, int n1, int n2, int c,
+                           const double* weights, int radius, float* dst) {
+    const size_t total = (size_t)n0 * n1 * n2 * c;
+    std::vector<float> tmp(total);
+    gauss_axis_slab(src, tmp.data(), 1, n0, (size_t)n1 * n2 * c,
+                    weights, radius);
+    gauss_axis_slab(tmp.data(), dst, n0, n1, (size_t)n2 * c,
+                    weights, radius);
+    std::memcpy(tmp.data(), dst, total * sizeof(float));
+    // last axis: elements along it are (near-)contiguous — the padded
+    // line-gather form wins when inner == c is tiny
+    gauss_axis(tmp.data(), dst, n0, n1, n2, c, 2, weights, radius);
 }
 
 }  // extern "C"
