@@ -96,6 +96,24 @@ def _rebox_opt_state(opt_state, boxed_params):
     return jax.tree.map(rebox, opt_state, is_leaf=is_params_like)
 
 
+def offload_opt_sharding(opt_sharding):
+    """Move an opt-state sharding pytree to pinned host memory.
+
+    STUDY ARTIFACT — measured and rejected as a product knob (BASELINE.md
+    round 3): streaming AdamW's mu/nu from pinned host through an in-jit
+    roundtrip is numerically exact, but XLA's buffer assignment keeps BOTH
+    moment copies live across the transfers, so peak HBM goes UP (+0.9 GiB
+    at ViT-L) while the step pays the full PCIe cost (+148%). The
+    compute_on('device_host') formulation (moments never leave the host)
+    crashes this rig's remote TPU compiler and hangs the CPU backend. Kept
+    in-tree with tests (tests/test_offload.py) and the measurement script
+    (benchmarks/bench_offload.py) so the rejection is reproducible; not
+    reachable from the trainer config."""
+    return jax.tree.map(
+        lambda s: s.with_memory_kind("pinned_host"), opt_sharding
+    )
+
+
 def create_sharded_train_state(
     init_fn: Callable[[], Any],
     tx: optax.GradientTransformation,
@@ -103,6 +121,7 @@ def create_sharded_train_state(
     use_grad_scaler: bool = False,
     init_scale: float = 8192.0,
     ema: bool = False,
+    offload_opt: bool = False,
 ) -> Tuple[TrainState, Any]:
     """Initialize params + optimizer state directly sharded on the mesh.
 
@@ -134,6 +153,18 @@ def create_sharded_train_state(
 
     with mesh:
         state = jax.jit(make_state, out_shardings=state_sharding)()
+    if offload_opt:
+        # Move the moments to pinned host AFTER the jitted init: jit
+        # out_shardings with a host memory kind needs the
+        # annotate_device_placement custom call, which the CPU test backend
+        # lacks — a plain transfer works everywhere. The transient HBM cost
+        # is the zero-initialized moments (2x params), before any batch or
+        # activation exists.
+        host_sharding = offload_opt_sharding(state_sharding.opt_state)
+        state = state.replace(
+            opt_state=jax.device_put(state.opt_state, host_sharding)
+        )
+        state_sharding = state_sharding.replace(opt_state=host_sharding)
     # Drop metadata boxes after placement; shardings now live on the arrays.
     state = state.replace(
         params=unbox(state.params), ema_params=unbox(state.ema_params)
@@ -151,6 +182,7 @@ def make_train_step(
     donate: bool = True,
     accum_steps: int = 1,
     ema_decay: Optional[float] = None,
+    offload_opt: bool = False,
 ):
     """Build a jitted train step.
 
@@ -220,23 +252,33 @@ def make_train_step(
         scale = state.loss_scale.scale if state.loss_scale is not None else None
         grads, (loss, aux) = accum_grads(state.params, batch, rng, scale)
 
+        # optimizer-state host offload (study artifact, see
+        # offload_opt_sharding): moments live in pinned host between steps;
+        # stream them on-device for the update and back after.
+        opt_state = state.opt_state
+        if offload_opt:
+            opt_state = jax.device_put(opt_state, jax.memory.Space.Device)
+
         if state.loss_scale is not None:
             inv = 1.0 / state.loss_scale.scale
             grads = jax.tree.map(lambda g: g * inv, grads)
             finite = all_finite(grads)
             new_scale = update_loss_scale(state.loss_scale, finite)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates, new_opt = tx.update(grads, opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             # Skip the whole update on overflow (GradScaler.step behavior):
             # every optimizer-state leaf mirrors a param leaf or is a scalar
-            # counter, so a leafwise select is exact.
+            # counter, so a leafwise select is exact. Merge against the
+            # on-device copy — host-resident operands cannot feed compute.
             merge = lambda new, old: jnp.where(finite, new, old)
             new_params = jax.tree.map(merge, new_params, state.params)
-            new_opt = jax.tree.map(merge, new_opt, state.opt_state)
+            new_opt = jax.tree.map(merge, new_opt, opt_state)
             new_ema = jax.tree.map(
                 merge, ema_update(state.ema_params, new_params),
                 state.ema_params,
             )  # overflow skips the EMA tick too (params did not move)
+            if offload_opt:
+                new_opt = jax.device_put(new_opt, jax.memory.Space.Host)
             new_state = state.replace(
                 step=state.step + 1,
                 params=new_params,
@@ -245,8 +287,10 @@ def make_train_step(
                 ema_params=new_ema,
             )
         else:
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates, new_opt = tx.update(grads, opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if offload_opt:
+                new_opt = jax.device_put(new_opt, jax.memory.Space.Host)
             new_state = state.replace(
                 step=state.step + 1, params=new_params, opt_state=new_opt,
                 ema_params=ema_update(state.ema_params, new_params),
