@@ -1,0 +1,60 @@
+"""Mesh-aware evaluation: when `parallelism:` spans more than one device the
+inference CLI runs the same GSPMD surface as training (weights sharded per
+LOGICAL_RULES, batches data-parallel). Sharded eval must reproduce
+single-device eval exactly — same deterministic init, same synthetic
+samples (capability-plus: the reference evaluates one GPU per process,
+`inference_unetr_simple.py:160`)."""
+
+import numpy as np
+
+from ucf_vit_tpu.inference import evaluate, evaluate_classification
+
+
+def test_classification_eval_sharded_matches_single():
+    from tests.test_trainer import _cfg
+
+    def make(par):
+        cfg = _cfg("classification", extra_data={"num_classes": 3})
+        cfg.raw["data"]["batch_size"] = 4
+        if par:
+            cfg.raw["parallelism"] = par
+        return cfg
+
+    t_single = evaluate_classification(make(None), synthetic=True,
+                                       num_samples=8)
+    t_mesh = evaluate_classification(
+        make({"simple_ddp_size": 2, "fsdp_size": 2, "tensor_par_size": 2,
+              "seq_par_size": 1}),
+        synthetic=True, num_samples=8,
+    )
+    assert np.isfinite(t_single) and np.isfinite(t_mesh)
+    assert np.isclose(t_single, t_mesh, atol=1e-6), (t_single, t_mesh)
+
+
+def test_sap_eval_sharded_matches_single():
+    from tests.test_inference import _sap_cfg
+
+    def run(par):
+        cfg = _sap_cfg("/nonexistent", twoD=True)  # synthetic: root unused
+        if par:
+            cfg.raw["parallelism"] = par
+        return evaluate(cfg, synthetic=True, num_samples=2, batch_size=2)
+
+    d_single = run(None)
+    d_mesh = run({"simple_ddp_size": 2, "fsdp_size": 1,
+                  "tensor_par_size": 1, "seq_par_size": 1})
+    assert np.isfinite(d_single) and np.isfinite(d_mesh)
+    assert np.isclose(d_single, d_mesh, atol=1e-5), (d_single, d_mesh)
+
+
+def test_eval_mesh_falls_back_when_too_few_devices():
+    """A training config asking for more devices than the eval host has must
+    fall back to single-device eval, not crash (routine: eval a pod config
+    on one chip)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.inference import _eval_mesh
+
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["parallelism"] = {"simple_ddp_size": 64, "fsdp_size": 1,
+                              "tensor_par_size": 1, "seq_par_size": 1}
+    assert _eval_mesh(cfg) is None

@@ -280,3 +280,22 @@ def test_validation_loss_is_deterministic():
         loss_fn(params, arrays, jax.random.key(s))[0] for s in (2, 3)
     ]
     assert float(tr[0]) != float(tr[1])
+
+
+def test_training_is_deterministic():
+    """Two fresh runs with the same config + trainer.seed must produce
+    bit-identical loss trajectories — the framework's whole-run determinism
+    contract (single-key init + seeded masking/dropout + schedule-pure data
+    ordering). The reference cannot make this guarantee (per-rank
+    uninitialized TP weights, unseeded DataLoader workers)."""
+    import numpy as np
+
+    def run():
+        cfg = _cfg("classification", extra_data={"num_classes": 3})
+        cfg.raw["trainer"]["seed"] = 7
+        cfg.raw["load_balancing"]["batches_per_rank_epoch"] = {"synthetic": 3}
+        return train(cfg, synthetic=True, max_steps=3)["loss_list"]
+
+    a, b = run(), run()
+    assert len(a) == len(b) >= 1
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

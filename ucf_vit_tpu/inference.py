@@ -46,12 +46,75 @@ def _params_from_payload(payload, use_ema: bool):
     )
     return state["ema_params"]
 
+def _eval_mesh(cfg):
+    """Mesh from `parallelism:` when it spans more than one device, else
+    None. Evaluation then runs the same GSPMD surface as training: weights
+    sharded per LOGICAL_RULES (tp/fsdp — required for models bigger than
+    one chip), batches split over the data axes (data-parallel eval). The
+    reference's eval is strictly one-GPU-per-process
+    (`inference_unetr_simple.py:160`)."""
+    par = dict(cfg.raw.get("parallelism", {}) or {})
+    size = 1
+    for k in ("simple_ddp_size", "fsdp_size", "seq_par_size",
+              "tensor_par_size", "pipe_par_size", "expert_par_size"):
+        size *= int(par.get(k, 1))
+    if size <= 1:
+        return None
+    if jax.device_count() < size:
+        # evaluating a multi-chip training config on a smaller host is
+        # routine (e.g. one chip): fall back to single-device eval rather
+        # than demanding the training topology
+        print(
+            f"eval: parallelism wants {size} devices, "
+            f"{jax.device_count()} available -> single-device eval",
+            flush=True,
+        )
+        return None
+    from ucf_vit_tpu.parallel.mesh import mesh_from_config
+
+    return mesh_from_config(par)
+
+
+def _init_eval_params(model, cfg, ex, var_ids, mesh):
+    """(params, params_sharding): single-device when mesh is None, else
+    initialized directly sharded on the mesh."""
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "mask": jax.random.key(2)}
+    if mesh is None:
+        params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+        return params, None
+    from ucf_vit_tpu.parallel.train_step import create_sharded_params
+
+    return create_sharded_params(
+        lambda: _init_variables(model, rngs, cfg, ex, var_ids), mesh
+    )
+
+
+def _place_eval_params(params_host, params_sharding):
+    """Land restored (host) checkpoint params on the eval sharding."""
+    if params_sharding is None:
+        return params_host
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        params_host, params_sharding,
+    )
+
+
+def _mesh_ctx(mesh):
+    import contextlib
+
+    from ucf_vit_tpu.parallel.mesh import mesh_context
+
+    return mesh_context(mesh) if mesh is not None else contextlib.nullcontext()
+
+
 def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
                             synthetic: bool = False,
                             num_samples: int = 64,
                             use_ema: bool = False) -> float:
     """Top-1 accuracy eval (capability-plus: the reference leaves
-    validation/testing to users, `README.md:969`)."""
+    validation/testing to users, `README.md:969`). Runs sharded when
+    `parallelism:` spans more than one device (see _eval_mesh)."""
     from ucf_vit_tpu.utils.metrics import accuracy
 
     model, _ = build_task(cfg)
@@ -62,16 +125,17 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
         if cfg.init_args.get("use_varemb", False)
         else None
     )
-    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-            "mask": jax.random.key(2)}
-    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    mesh = _eval_mesh(cfg)
+    params, psharding = _init_eval_params(model, cfg, ex, var_ids, mesh)
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
             checkpoint_dir,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = _params_from_payload(payload, use_ema)
+        params = _place_eval_params(
+            _params_from_payload(payload, use_ema), psharding
+        )
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
 
     @jax.jit
@@ -88,14 +152,21 @@ def evaluate_classification(cfg, checkpoint_dir: Optional[str] = None,
         it = dm.train_dataloader()
 
     correct, seen = 0.0, 0
-    for i, batch in enumerate(it):
-        if seen >= num_samples:
-            break
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        logits = forward(params, arrays)
-        acc = float(accuracy(logits, jnp.asarray(arrays["label"])))
-        correct += acc * logits.shape[0]
-        seen += logits.shape[0]
+    with _mesh_ctx(mesh):
+        from ucf_vit_tpu.parallel.mesh import shard_batch
+
+        for i, batch in enumerate(it):
+            if seen >= num_samples:
+                break
+            arrays = {
+                k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            logits = forward(params, arrays)
+            acc = float(accuracy(logits, jnp.asarray(arrays["label"])))
+            correct += acc * logits.shape[0]
+            seen += logits.shape[0]
     top1 = correct / max(seen, 1)
     print(f"top-1 accuracy over {seen} samples: {top1:.4f}", flush=True)
     return top1
@@ -125,9 +196,8 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
         if cfg.init_args.get("use_varemb", False)
         else None
     )
-    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-            "mask": jax.random.key(2)}
-    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    mesh = _eval_mesh(cfg)
+    params, psharding = _init_eval_params(model, cfg, ex, var_ids, mesh)
 
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
@@ -135,7 +205,9 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = _params_from_payload(payload, use_ema)
+        params = _place_eval_params(
+            _params_from_payload(payload, use_ema), psharding
+        )
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
     if mae_checkpoint_dir:
         payload = ckpt.restore_checkpoint(
@@ -144,9 +216,12 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
             # encoder heads must agree; the MAE decoder is stripped
             expect_head_meta=(ckpt.head_meta_from_config(cfg)[0], None),
         )
-        params = ckpt.transfer_mae_encoder(
-            payload["state"]["params"], params,
-            new_pos_embed_len=model.num_patches,
+        params = _place_eval_params(
+            ckpt.transfer_mae_encoder(
+                payload["state"]["params"], jax.tree.map(np.asarray, params),
+                new_pos_embed_len=model.num_patches,
+            ),
+            psharding,
         )
         print("initialized encoder from MAE checkpoint", flush=True)
 
@@ -188,40 +263,52 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
         it = dm.train_dataloader()
 
     dices = []
-    for i, batch in enumerate(it):
-        if i >= num_samples:
-            break
+    from ucf_vit_tpu.parallel.mesh import shard_batch
+
+    def eval_batch(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        logits = forward(params, arrays)  # [1, C, *spatial]
-        pred = jnp.argmax(logits, axis=1)  # [1, *spatial]
-        if cfg.task == "sap":
-            # SAP predicts in the sqrt-len pseudo-image space; score against
-            # the serialized labels reassembled the same way (the layout the
-            # SAP training loss uses, `train_sap_simple.py:28-46`)
-            seq_label = jnp.asarray(batch["seq_label"]).astype(jnp.int32)
-            flat = seq_label.reshape(seq_label.shape[0], seq_label.shape[1], -1)
-            label = reassemble_sqrt_len(flat, sqrt_len, p, cfg.twoD)
-        else:
-            label = jnp.asarray(batch["label"])
-            if label.ndim == pred.ndim + 1:
-                label = label[:, 0]
-        d = float(dice_metric(pred, label, num_classes))
-        dices.append(d)
-        print(f"sample {i}: dice {d:.4f}", flush=True)
-        if png_dir:
-            png_pred, png_label = np.asarray(pred[0]), np.asarray(label[0])
-            if cfg.task == "sap" and "qdt" in batch:
-                # deserialize the pseudo-image prediction back to TRUE image
-                # space via the sample's tree (reference
-                # `inference_unetr_simple.py:426-457` intent) and overlay
-                # against the original image-space label
-                png_pred = _deserialize_pred(
-                    pred[0], batch["qdt"][0], sqrt_len, p, cfg.twoD
+        if mesh is not None:
+            arrays = shard_batch(mesh, arrays)
+        return forward(params, arrays)
+
+    with _mesh_ctx(mesh):
+        for i, batch in enumerate(it):
+            if i >= num_samples:
+                break
+            logits = eval_batch(batch)  # [1, C, *spatial]
+            pred = jnp.argmax(logits, axis=1)  # [1, *spatial]
+            if cfg.task == "sap":
+                # SAP predicts in the sqrt-len pseudo-image space; score
+                # against the serialized labels reassembled the same way
+                # (the layout the SAP training loss uses,
+                # `train_sap_simple.py:28-46`)
+                seq_label = jnp.asarray(batch["seq_label"]).astype(jnp.int32)
+                flat = seq_label.reshape(
+                    seq_label.shape[0], seq_label.shape[1], -1
                 )
-                png_label = np.asarray(batch["label"][0])
-                if png_label.ndim == png_pred.ndim + 1:
-                    png_label = png_label[0]
-            _dump_png(png_dir, i, png_pred, png_label)
+                label = reassemble_sqrt_len(flat, sqrt_len, p, cfg.twoD)
+            else:
+                label = jnp.asarray(batch["label"])
+                if label.ndim == pred.ndim + 1:
+                    label = label[:, 0]
+            d = float(dice_metric(pred, label, num_classes))
+            dices.append(d)
+            print(f"sample {i}: dice {d:.4f}", flush=True)
+            if png_dir:
+                png_pred = np.asarray(pred[0])
+                png_label = np.asarray(label[0])
+                if cfg.task == "sap" and "qdt" in batch:
+                    # deserialize the pseudo-image prediction back to TRUE
+                    # image space via the sample's tree (reference
+                    # `inference_unetr_simple.py:426-457` intent) and
+                    # overlay against the original image-space label
+                    png_pred = _deserialize_pred(
+                        pred[0], batch["qdt"][0], sqrt_len, p, cfg.twoD
+                    )
+                    png_label = np.asarray(batch["label"][0])
+                    if png_label.ndim == png_pred.ndim + 1:
+                        png_label = png_label[0]
+                _dump_png(png_dir, i, png_pred, png_label)
     mean_dice = float(np.mean(dices)) if dices else float("nan")
     print(f"mean dice over {len(dices)} samples: {mean_dice:.4f}", flush=True)
     return mean_dice

@@ -176,6 +176,24 @@ def create_sharded_train_state(
     return state, state_sharding
 
 
+def create_sharded_params(init_fn: Callable[[], Any], mesh: Mesh):
+    """Params-only sibling of create_sharded_train_state for inference:
+    initialize directly sharded on the mesh per LOGICAL_RULES (tp/fsdp
+    weight sharding included), no optimizer state.
+
+    Returns (params, params_sharding), both metadata-unboxed."""
+    def make_params():
+        return init_fn()["params"]
+
+    shapes = jax.eval_shape(make_params)
+    sharding = nn.logical_to_mesh_sharding(
+        nn.get_partition_spec(shapes), mesh, LOGICAL_RULES
+    )
+    with mesh:
+        params = jax.jit(make_params, out_shardings=sharding)()
+    return unbox(params), unbox(sharding)
+
+
 def make_train_step(
     loss_fn: Callable[..., jnp.ndarray],
     tx: optax.GradientTransformation,
