@@ -47,6 +47,34 @@ def test_sap_eval_sharded_matches_single():
     assert np.isclose(d_single, d_mesh, atol=1e-5), (d_single, d_mesh)
 
 
+def test_diffusion_sampling_sharded_matches_single(tmp_path):
+    """DDPM sampling with the batch sharded over a ddp mesh must produce
+    the same images as single-device sampling for the same key (noise draws
+    are sharding-invariant)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.inference import generate_diffusion
+
+    def run(par):
+        cfg = _cfg(
+            "diffusion",
+            extra_init={"decoder_embed_dim": 8, "decoder_depth": 1,
+                        "decoder_num_heads": 2, "mlp_ratio_decoder": 4,
+                        "num_time_steps": 4},
+        )
+        if par:
+            cfg.raw["parallelism"] = par
+        sps, imgs = generate_diffusion(cfg, num_samples=4,
+                                       return_images=True)
+        assert np.isfinite(sps) and sps > 0
+        return imgs
+
+    i1 = run(None)
+    i2 = run({"simple_ddp_size": 4, "fsdp_size": 1, "tensor_par_size": 1,
+              "seq_par_size": 1})
+    assert i1.shape == i2.shape and i1.shape[0] == 4
+    np.testing.assert_allclose(i1, i2, atol=1e-5)
+
+
 def test_eval_mesh_falls_back_when_too_few_devices():
     """A training config asking for more devices than the eval host has must
     fall back to single-device eval, not crash (routine: eval a pod config

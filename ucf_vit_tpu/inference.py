@@ -317,7 +317,8 @@ def evaluate(cfg, checkpoint_dir: Optional[str] = None,
 def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
                        num_samples: int = 8,
                        png_dir: Optional[str] = None,
-                       use_ema: bool = False) -> float:
+                       use_ema: bool = False,
+                       return_images: bool = False):
     """Generate images from a trained DiffusionVIT via ancestral DDPM
     sampling (capability-plus: the reference trains the denoiser but ships
     no sampler, `ddpm/ddpm.py`). Returns samples/s. The full reverse chain
@@ -335,16 +336,17 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
         if cfg.init_args.get("use_varemb", False)
         else None
     )
-    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-            "mask": jax.random.key(2)}
-    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    mesh = _eval_mesh(cfg)
+    params, psharding = _init_eval_params(model, cfg, ex, var_ids, mesh)
     if checkpoint_dir:
         payload = ckpt.restore_checkpoint(
             checkpoint_dir,
             cfg.trainer.get("checkpoint_filename_for_loading", ""),
             expect_head_meta=ckpt.head_meta_from_config(cfg),
         )
-        params = _params_from_payload(payload, use_ema)
+        params = _place_eval_params(
+            _params_from_payload(payload, use_ema), psharding
+        )
         print(f"loaded checkpoint from epoch {int(payload['epoch'])}", flush=True)
 
     shape = tuple(np.asarray(ex["x"]).shape)
@@ -352,7 +354,18 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
                                        cfg.init_args.get("time_steps", 1000)))
     schedule = ddpm_schedule(time_steps)
 
+    if mesh is not None:
+        # batch-shard the whole reverse chain: constraining x_t once per
+        # denoise call makes GSPMD carry the data-parallel sharding through
+        # every DDPM step (noise draws are sharding-invariant, so sharded
+        # sampling equals single-device sampling for the same key)
+        from ucf_vit_tpu.parallel.mesh import batch_sharding
+
+        bshard = batch_sharding(mesh, len(shape))
+
     def denoise(x_t, t):
+        if mesh is not None:
+            x_t = jax.lax.with_sharding_constraint(x_t, bshard)
         pred = model.apply({"params": params}, x_t, t, var_ids, None)
         return unpatchify(pred, shape, cfg.patch_size, cfg.twoD)
 
@@ -360,7 +373,8 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
         lambda key: ddpm_sample(schedule, denoise, key, shape)
     )
     t0 = time.perf_counter()
-    imgs = np.asarray(sample(jax.random.key(0)))
+    with _mesh_ctx(mesh):
+        imgs = np.asarray(sample(jax.random.key(0)))
     dt = time.perf_counter() - t0
     sps = batch / dt
     print(
@@ -373,7 +387,7 @@ def generate_diffusion(cfg, checkpoint_dir: Optional[str] = None,
             if img.ndim == 3:  # 3D volume: middle slice
                 img = img[..., img.shape[-1] // 2]
             _dump_generated_png(png_dir, i, img)
-    return sps
+    return (sps, imgs) if return_images else sps
 
 
 def _dump_generated_png(png_dir: str, idx: int, img: np.ndarray):
