@@ -75,6 +75,32 @@ def test_diffusion_sampling_sharded_matches_single(tmp_path):
     np.testing.assert_allclose(i1, i2, atol=1e-5)
 
 
+def test_serving_sharded_matches_single():
+    """build_predictor on a ddp2 x tp2 mesh must produce the same logits as
+    single-device serving (same deterministic init), through the real
+    run_batch path (filtered keys + sharded device_put)."""
+    from tests.test_serve import _cfg as serve_cfg
+    from ucf_vit_tpu.serve import build_predictor
+    from ucf_vit_tpu.train import example_batch
+
+    def run(par):
+        cfg = serve_cfg("classification", extra_data={"num_classes": 3})
+        if par:
+            cfg.raw["parallelism"] = par
+        run_batch, _, mb, _ = build_predictor(cfg, max_batch=4)
+        batch = {
+            k: v for k, v in example_batch(cfg, 4).items()
+            if isinstance(v, np.ndarray)
+        }
+        return np.asarray(run_batch(batch))
+
+    single = run(None)
+    sharded = run({"simple_ddp_size": 2, "fsdp_size": 1,
+                   "tensor_par_size": 2, "seq_par_size": 1})
+    assert single.shape == sharded.shape
+    np.testing.assert_allclose(single, sharded, atol=2e-5)
+
+
 def test_eval_mesh_falls_back_when_too_few_devices():
     """A training config asking for more devices than the eval host has must
     fall back to single-device eval, not crash (routine: eval a pod config

@@ -299,3 +299,26 @@ def test_training_is_deterministic():
     a, b = run(), run()
     assert len(a) == len(b) >= 1
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compile_cache_dir_populates(tmp_path):
+    """trainer.compile_cache_dir turns on jax's persistent compilation
+    cache: after one training step the directory holds cache entries, so a
+    restart (preemption -> resume) skips recompilation."""
+    import os
+
+    import jax
+
+    cache = str(tmp_path / "xla_cache")
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["trainer"]["compile_cache_dir"] = cache
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        train(cfg, max_steps=1, synthetic=True)
+        assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    finally:  # the cache config is process-global: restore for later tests
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_size)

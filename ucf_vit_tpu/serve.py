@@ -144,11 +144,28 @@ def build_predictor(
         if cfg.init_args.get("use_varemb", False)
         else None
     )
-    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-            "mask": jax.random.key(2)}
-    from ucf_vit_tpu.parallel.train_step import unbox
+    # mesh-aware serving: a parallelism block spanning >1 available device
+    # serves the model sharded exactly like training/eval (tp/fsdp weights
+    # per LOGICAL_RULES — required for models bigger than one chip; batches
+    # data-parallel over the data axes)
+    from ucf_vit_tpu.inference import (
+        _eval_mesh,
+        _init_eval_params,
+        _mesh_ctx,
+        _place_eval_params,
+    )
 
-    params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+    mesh = _eval_mesh(cfg)
+    if mesh is not None:
+        from ucf_vit_tpu.parallel.mesh import DATA_AXES
+
+        data_extent = int(np.prod([mesh.shape[a] for a in DATA_AXES]))
+        assert max_batch % data_extent == 0, (
+            f"--max-batch {max_batch} must be divisible by the mesh's "
+            f"data-parallel extent {data_extent} (ddp x ep x fsdp) for "
+            f"sharded serving"
+        )
+    params, psharding = _init_eval_params(model, cfg, ex, var_ids, mesh)
     # mutable holder so checkpoints can be hot-swapped while serving
     # (run_batch reads it at dispatch; the micro-batcher is the only
     # dispatching thread, so a swap lands atomically between batches)
@@ -171,9 +188,12 @@ def build_predictor(
             assert np.shape(a) == np.shape(b), (
                 f"checkpoint shape {np.shape(a)} != model {np.shape(b)}"
             )
-        # same fixed shapes -> the compiled executable is reused as-is
-        holder["params"] = jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x)), new
+        # same fixed shapes + same shardings -> the compiled executable is
+        # reused as-is
+        holder["params"] = (
+            _place_eval_params(new, psharding)
+            if psharding is not None
+            else jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), new)
         )
         holder["epoch"] = int(payload["epoch"])
         return holder["epoch"]
@@ -251,6 +271,9 @@ def build_predictor(
     elif task == "sap":
         consumed = {"seq", "seq_size", "seq_pos"}
 
+    if mesh is not None:
+        from ucf_vit_tpu.parallel.mesh import batch_sharding
+
     def run_batch(batch: Dict[str, np.ndarray]) -> jax.Array:
         # Explicit async device_put before dispatch: jit's implicit arg
         # upload staged these host arrays one-by-one (measured 671 ms/batch
@@ -258,8 +281,15 @@ def build_predictor(
         # dict moves the same bytes in ~0.1 s and overlaps with the previous
         # batch's compute. The batcher materializes the result one batch
         # late, so transfer, compute, and readback all pipeline.
-        dev = jax.device_put({k: v for k, v in batch.items() if k in consumed})
-        return jfwd(holder["params"], dev)
+        want = {k: v for k, v in batch.items() if k in consumed}
+        if mesh is None:
+            dev = jax.device_put(want)
+            return jfwd(holder["params"], dev)
+        dev = jax.device_put(
+            want, {k: batch_sharding(mesh, np.ndim(v)) for k, v in want.items()}
+        )
+        with _mesh_ctx(mesh):
+            return jfwd(holder["params"], dev)
 
     return run_batch, make_preprocessor(cfg), max_batch, (
         model, holder, load_weights,
@@ -625,10 +655,16 @@ def main(argv=None):
                         help="in-flight batches: 1 overlaps batch N+1's "
                              "transfer with batch N's compute (measure "
                              "first; see MicroBatcher docs); 0 serializes")
+    parser.add_argument("--compile-cache", default=None,
+                        help="persistent XLA compile-cache dir: restarts "
+                             "reload the serving executable in seconds "
+                             "instead of recompiling")
     args = parser.parse_args(argv)
 
     from ucf_vit_tpu.config import load_config
+    from ucf_vit_tpu.train import enable_compile_cache
 
+    enable_compile_cache(args.compile_cache)
     cfg = load_config(args.config, task=args.task)
     server = make_server(
         cfg, args.checkpoint, host=args.host, port=args.port,

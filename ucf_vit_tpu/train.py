@@ -229,6 +229,22 @@ def build_dataloader(
 _DIST_INITIALIZED = False
 
 
+def enable_compile_cache(cache_dir) -> None:
+    """Persistent XLA compilation cache (trainer.compile_cache_dir).
+
+    First compile of a big model is minutes on TPU; with a persistent cache
+    a restart — in particular the preemption -> checkpoint -> resume cycle
+    this trainer is built around — reloads the executable in seconds. Off by
+    default (jax's own default); shareable across hosts via a common
+    filesystem or gcs:// path."""
+    if not cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    # cache even quick compiles: resume pays dispatch, not recompilation
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def init_distributed() -> None:
     """jax.distributed rendezvous when launched multi-process under SLURM.
 
@@ -262,6 +278,7 @@ def train(
     log_every: int = 1,
 ) -> Dict:
     init_distributed()
+    enable_compile_cache(cfg.trainer.get("compile_cache_dir"))
     mesh = mesh_from_config(cfg.parallelism)
     model, loss_fn = build_task(cfg)
 
