@@ -322,3 +322,19 @@ def test_compile_cache_dir_populates(tmp_path):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_size)
+
+
+def test_tensorboard_dir_writes_events(tmp_path):
+    """trainer.tensorboard_dir writes TB event files alongside the JSONL
+    (torch's SummaryWriter — no TF dependency)."""
+    import glob
+    import os
+
+    tb = str(tmp_path / "tb")
+    cfg = _cfg("classification", extra_data={"num_classes": 3})
+    cfg.raw["load_balancing"]["batches_per_rank_epoch"] = {"synthetic": 2}
+    cfg.raw["trainer"]["tensorboard_dir"] = tb
+    train(cfg, max_steps=2, synthetic=True)
+    events = glob.glob(os.path.join(tb, "events.out.tfevents.*"))
+    assert events, f"no event files in {tb}"
+    assert os.path.getsize(events[0]) > 0

@@ -601,6 +601,18 @@ def train(
 
             os.makedirs(os.path.dirname(trainer["metrics_path"]) or ".", exist_ok=True)
             metrics_file = open(trainer["metrics_path"], "a")
+        tb_writer = None
+        if trainer.get("tensorboard_dir") and jax.process_index() == 0:
+            # TensorBoard scalars next to the JSONL (trainer.metrics_path):
+            # the standard dashboard surface, written via torch's event
+            # writer (no TF dependency). Optional — JSONL stays the source
+            # of truth for tools/metrics_summary.py.
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer = SummaryWriter(trainer["tensorboard_dir"])
+            except Exception as e:  # torch absent/broken: log and continue
+                print(f"tensorboard_dir ignored ({e})", flush=True)
         total_steps = 0
         rng = jax.random.key(int(trainer.get("seed", 0)))
 
@@ -658,6 +670,12 @@ def train(
                         rec.update({k: float(v) for k, v in aux.items()})
                     metrics_file.write(json.dumps(rec) + "\n")
                     metrics_file.flush()
+                if tb_writer is not None:
+                    tb_writer.add_scalar("train/loss", loss_f, p_step)
+                    tb_writer.add_scalar("train/ms_per_it", dt * 1e3, p_step)
+                    tb_writer.add_scalar("train/samples_per_s", sps, p_step)
+                    for k, v in (aux or {}).items():
+                        tb_writer.add_scalar(f"train/{k}", float(v), p_step)
 
         for epoch in range(epoch_start, max_epochs):
             # loop=True: the dataset schedule stays a pure function of the
@@ -754,12 +772,22 @@ def train(
                         rec.update({f"val_{k}": v for k, v in vaux.items()})
                         metrics_file.write(json.dumps(rec) + "\n")
                         metrics_file.flush()
+                    if tb_writer is not None:
+                        tb_writer.add_scalar("val/loss", vloss, total_steps)
+                        for k, v in vaux.items():
+                            tb_writer.add_scalar(
+                                f"val/{k}", float(v), total_steps
+                            )
             if dm is not None:
                 dm.reset()
             if max_steps is not None and total_steps >= max_steps:
                 break
 
         ckpt.wait_until_finished()
+        if tb_writer is not None:
+            tb_writer.close()
+        if metrics_file is not None:
+            metrics_file.close()
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
 
