@@ -75,6 +75,37 @@ def test_diffusion_sampling_sharded_matches_single(tmp_path):
     np.testing.assert_allclose(i1, i2, atol=1e-5)
 
 
+def test_serve_generator_sharded_matches_single():
+    """serve.build_generator with a ddp mesh == single-device generation
+    for the same seed (the serving twin of the sampling test above)."""
+    from tests.test_trainer import _cfg
+    from ucf_vit_tpu.inference import _eval_mesh, _init_eval_params
+    from ucf_vit_tpu.tasks import build_task
+    from ucf_vit_tpu.train import example_batch
+    from ucf_vit_tpu.serve import build_generator
+
+    def run(par):
+        cfg = _cfg(
+            "diffusion",
+            extra_init={"decoder_embed_dim": 8, "decoder_depth": 1,
+                        "decoder_num_heads": 2, "mlp_ratio_decoder": 4,
+                        "num_time_steps": 3},
+        )
+        if par:
+            cfg.raw["parallelism"] = par
+        model, _ = build_task(cfg)
+        ex = example_batch(cfg, 4)
+        mesh = _eval_mesh(cfg)
+        params, _ = _init_eval_params(model, cfg, ex, None, mesh)
+        gen = build_generator(cfg, params, model, 4, mesh=mesh)
+        return gen(seed=3)
+
+    single = run(None)
+    sharded = run({"simple_ddp_size": 2, "fsdp_size": 2,
+                   "tensor_par_size": 1, "seq_par_size": 1})
+    np.testing.assert_allclose(single, sharded, atol=1e-5)
+
+
 def test_serving_sharded_matches_single():
     """build_predictor on a ddp2 x tp2 mesh must produce the same logits as
     single-device serving (same deterministic init), through the real

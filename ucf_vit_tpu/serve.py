@@ -296,8 +296,11 @@ def build_predictor(
     )
 
 
-def build_generator(cfg: Config, params, model, num_samples: int):
-    """Jitted DDPM ancestral sampler at a fixed batch (diffusion serving)."""
+def build_generator(cfg: Config, params, model, num_samples: int,
+                    mesh=None):
+    """Jitted DDPM ancestral sampler at a fixed batch (diffusion serving).
+    With a mesh, the reverse chain runs batch-sharded (same recipe as
+    inference.generate_diffusion)."""
     from ucf_vit_tpu.models.ddpm import ddpm_sample, ddpm_schedule
     from ucf_vit_tpu.ops.patchify import unpatchify
 
@@ -312,14 +315,24 @@ def build_generator(cfg: Config, params, model, num_samples: int):
                                        cfg.init_args.get("time_steps", 1000)))
     schedule = ddpm_schedule(time_steps)
 
+    if mesh is not None:
+        from ucf_vit_tpu.parallel.mesh import batch_sharding
+
+        bshard = batch_sharding(mesh, len(shape))
+
     def denoise(x_t, t):
+        if mesh is not None:
+            x_t = jax.lax.with_sharding_constraint(x_t, bshard)
         pred = model.apply({"params": params}, x_t, t, var_ids, None)
         return unpatchify(pred, shape, cfg.patch_size, cfg.twoD)
 
     sampler = jax.jit(lambda key: ddpm_sample(schedule, denoise, key, shape))
 
     def generate(seed: int) -> np.ndarray:
-        return np.asarray(sampler(jax.random.key(seed)))
+        from ucf_vit_tpu.inference import _mesh_ctx
+
+        with _mesh_ctx(mesh):
+            return np.asarray(sampler(jax.random.key(seed)))
 
     return generate
 
@@ -588,11 +601,14 @@ def make_server(
             if cfg.init_args.get("use_varemb", False)
             else None
         )
-        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-                "mask": jax.random.key(2)}
-        from ucf_vit_tpu.parallel.train_step import unbox
+        from ucf_vit_tpu.inference import (
+            _eval_mesh,
+            _init_eval_params,
+            _place_eval_params,
+        )
 
-        params = unbox(_init_variables(model, rngs, cfg, ex, var_ids)["params"])
+        gen_mesh = _eval_mesh(cfg)
+        params, psharding = _init_eval_params(model, cfg, ex, var_ids, gen_mesh)
         if checkpoint_dir:
             from ucf_vit_tpu.inference import _params_from_payload
 
@@ -601,9 +617,11 @@ def make_server(
                 cfg.trainer.get("checkpoint_filename_for_loading", ""),
                 expect_head_meta=ckpt.head_meta_from_config(cfg),
             )
-            params = _params_from_payload(payload, use_ema)
+            params = _place_eval_params(
+                _params_from_payload(payload, use_ema), psharding
+            )
         Handler.generate = staticmethod(
-            build_generator(cfg, params, model, num_generate)
+            build_generator(cfg, params, model, num_generate, mesh=gen_mesh)
         )
     else:
         run_batch, preprocess, mb, (_, holder, load_weights) = build_predictor(
