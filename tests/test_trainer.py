@@ -108,9 +108,11 @@ def test_train_resume_continuity(tmp_path):
 
 
 def test_preemption_checkpoints_and_exits(tmp_path):
-    """SIGTERM mid-training -> checkpoint written as epoch-1, clean exit,
-    and resume re-runs the interrupted epoch (SLURM/TPU maintenance-event
-    behavior; the reference has no preemption handling)."""
+    """SIGTERM mid-training -> checkpoint records the interrupted epoch and
+    position (data_it/total_steps/rng_key), clean exit; resume re-enters the
+    epoch mid-stream (SLURM/TPU maintenance-event behavior; the reference
+    has no preemption handling). Bit-exact continuation is proven by
+    tests/test_midepoch_resume.py."""
     import os
     import signal
     import subprocess
@@ -312,6 +314,9 @@ def test_compile_cache_dir_populates(tmp_path):
     cache = str(tmp_path / "xla_cache")
     cfg = _cfg("classification", extra_data={"num_classes": 3})
     cfg.raw["trainer"]["compile_cache_dir"] = cache
+    # threshold 0: in a warm pytest process this tiny model compiles faster
+    # than the 0.5 s default and nothing would be written (order-dependent)
+    cfg.raw["trainer"]["compile_cache_min_secs"] = 0.0
     old_dir = jax.config.jax_compilation_cache_dir
     old_secs = jax.config.jax_persistent_cache_min_compile_time_secs
     old_size = jax.config.jax_persistent_cache_min_entry_size_bytes
@@ -322,6 +327,9 @@ def test_compile_cache_dir_populates(tmp_path):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_size)
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()  # re-bind the singleton to old_dir
 
 
 def test_tensorboard_dir_writes_events(tmp_path):

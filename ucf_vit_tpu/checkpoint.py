@@ -28,6 +28,18 @@ import orbax.checkpoint as ocp
 from ucf_vit_tpu.ops.pos_embed import interpolate_pos_embed_1d
 
 
+# Optional payload keys and their abstract restore templates. head_meta
+# guards head regrouping; data_it/total_steps/rng_key carry mid-epoch
+# trainer progress (rng_key is jax.random.key_data of the default threefry
+# impl — shape (2,) uint32; the framework never switches PRNG impls).
+OPTIONAL_PAYLOAD_KEYS = {
+    "head_meta": lambda: np.zeros((2,), np.int64),
+    "data_it": lambda: np.asarray(0),
+    "total_steps": lambda: np.asarray(0),
+    "rng_key": lambda: np.zeros((2,), np.uint32),
+}
+
+
 def _ckpt_dir(checkpoint_path: str, filename: str, epoch: int) -> str:
     parity = "even" if epoch % 2 == 0 else "odd"
     return os.path.abspath(os.path.join(checkpoint_path, f"{filename}_{parity}"))
@@ -58,6 +70,7 @@ def save_checkpoint(
     block: bool = True,
     slot_epoch: Optional[int] = None,
     head_meta=None,
+    extra: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Write the even/odd checkpoint for this epoch. Returns the dir.
 
@@ -95,6 +108,11 @@ def save_checkpoint(
         # [num_heads, decoder_num_heads] — validated on resume (see
         # _check_head_meta: head regrouping keeps shapes, changes the fn)
         payload["head_meta"] = np.asarray([int(v) for v in head_meta])
+    for k, v in (extra or {}).items():
+        # optional trainer-progress keys (data_it / total_steps / rng_key for
+        # mid-epoch resume); restore_checkpoint reconciles their presence
+        assert k in OPTIONAL_PAYLOAD_KEYS, f"unknown extra payload key {k!r}"
+        payload[k] = np.asarray(v)
     ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
     if block:
         ckptr.wait_until_finished()
@@ -195,12 +213,17 @@ def restore_checkpoint(
         if on_disk and on_disk != want:
             abstract_payload = dict(abstract_payload)
             abstract_payload[on_disk.pop()] = abstract_payload.pop(want.pop())
-    # head_meta is present in checkpoints written after round 3; Orbax is
-    # strict about the abstract tree matching the on-disk tree, so inject
-    # the key when the checkpoint carries it
-    if "head_meta" in on_disk_keys and "head_meta" not in abstract_payload:
-        abstract_payload = dict(abstract_payload)
-        abstract_payload["head_meta"] = np.zeros((2,), np.int64)
+    # Optional keys (head_meta, mid-epoch progress) appear in checkpoints
+    # written after the feature that added them; Orbax is strict about the
+    # abstract tree matching the on-disk tree, so reconcile both ways:
+    # inject keys the checkpoint carries, drop requested keys it predates.
+    for key, template in OPTIONAL_PAYLOAD_KEYS.items():
+        if key in on_disk_keys and key not in abstract_payload:
+            abstract_payload = dict(abstract_payload)
+            abstract_payload[key] = template()
+        elif key not in on_disk_keys and key in abstract_payload:
+            abstract_payload = dict(abstract_payload)
+            del abstract_payload[key]
     payload = ckptr.restore(path, abstract_payload)
     _check_head_meta(payload, expect_head_meta)
     return payload

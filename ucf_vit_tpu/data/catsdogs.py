@@ -84,15 +84,20 @@ def catsdogs_loader(
     num_shards: int = 1,
     seed: int = 0,
     shuffle: bool = True,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Sharded, shuffled, drop-last batch iterator — the role torch's
     DistributedSampler + DataLoader play in the reference
-    (`train_class_simple_torchDataloader.py:237-240`)."""
+    (`train_class_simple_torchDataloader.py:237-240`).
+
+    skip_batches (mid-epoch resume): the permutation is a pure function of
+    `seed`, so starting at batch N reproduces the uninterrupted stream's
+    batches[N:] without decoding the skipped files."""
     idx = np.arange(len(ds))
     if shuffle:
         idx = np.random.default_rng(seed).permutation(idx)
     idx = idx[shard_rank::num_shards]
     n_batches = len(idx) // batch_size
-    for b in range(n_batches):
+    for b in range(int(skip_batches), n_batches):
         samples = [ds[int(i)] for i in idx[b * batch_size : (b + 1) * batch_size]]
         yield collate(samples, "catsdogs")

@@ -220,6 +220,12 @@ class DataModule:
                 tile_overlap=self.tile_overlap, use_all_data=self.use_all_data,
             )
         shuffled = ShuffleBuffer(tiles, self.dict_buffer_sizes[key], rng=rng)
+        # per-sample augmentation seed (derived from this chain's seed
+        # sequence): each sample's patchify draws are a pure function of its
+        # index in this chain. Makes the stream identical across num_workers
+        # settings and lets mid-epoch resume skip samples without desyncing
+        # any RNG.
+        aug_seed = int(rng.integers(0, 2**63))
         processed = ProcessChannels(
             shuffled,
             num_channels=self.num_channels_used[key],
@@ -236,13 +242,27 @@ class DataModule:
             num_workers=self.num_workers,
             return_qdt=self.return_qdt,
             rng=rng,
+            aug_seed=aug_seed,
         )
         return BatchIterator(processed, self.batch_size, self.dataset)
 
     def _assemble(self):
-        rng = np.random.default_rng(self._seed + self._epoch)
+        import zlib
+
         data = {}
         for k, lister in self.dict_lister_trains.items():
+            # One Generator PER CHAIN, keyed by (seed, epoch, dataset key):
+            # each chain's shuffle/augmentation stream is a pure function of
+            # its own pull count, independent of how the step scheduler
+            # interleaves chains. A shared Generator would entangle chains
+            # through pull order — breaking mid-epoch fast-forward, which
+            # drains each chain's skipped prefix when it is first picked
+            # rather than in the original interleaving.
+            rng = np.random.default_rng(
+                np.random.SeedSequence(
+                    [self._seed, self._epoch, zlib.crc32(str(k).encode())]
+                )
+            )
             keys_to_add = self._keys_to_add(k)
             files = list(rng.permutation(np.asarray(lister, dtype=object)))
             for _ in range(keys_to_add - 1):
@@ -258,6 +278,16 @@ class DataModule:
         """Per-epoch file-list reshuffle (parity: `datamodule.py:468-489`)."""
         self._epoch += 1
         self._assemble()
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch: chains are (re)built for `epoch`'s
+        deterministic file permutation. Used by the trainer so a RESUMED run
+        sees the same epoch-E stream as an uninterrupted one (reset() alone
+        restarts the reshuffle schedule at 0 after a restart). No-op if the
+        chains are already assembled for this epoch."""
+        if self.dict_data_train is None or self._epoch != int(epoch):
+            self._epoch = int(epoch)
+            self._assemble()
 
     # ------------------------------------------------------------------- iter
 
@@ -280,7 +310,9 @@ class DataModule:
         )
         return dict(zip(keys, group_list))
 
-    def train_dataloader(self, loop: bool = False) -> Iterator[dict]:
+    def train_dataloader(
+        self, loop: bool = False, skip_batches: int = 0
+    ) -> Iterator[dict]:
         """Scheduled batches across this process's dataset chains: each step
         one dataset, chosen by deterministic weighted round-robin (all
         processes compute the same schedule, so the global SPMD batch is
@@ -295,33 +327,63 @@ class DataModule:
         iterations_per_epoch. Reacting to exhaustion would desynchronize the
         dataset choice across processes and feed mixed datasets into one
         SPMD batch. loop=False ends when all chains are exhausted (eval /
-        data-audit mode; single-process only)."""
+        data-audit mode; single-process only).
+
+        skip_batches=N (mid-epoch resume): fast-forward past the first N
+        batches of this epoch's deterministic stream. The schedule is
+        pre-advanced by N picks and each chain is told to skip its share of
+        samples — the upstream read/tile/shuffle state advances exactly as in
+        an uninterrupted run, but the expensive patchify/serialize transform
+        is bypassed for skipped samples, so the fast-forward runs at raw
+        loader speed. The first yielded batch is bit-identical to batch N of
+        the uninterrupted epoch. The reference can only re-run an epoch from
+        its start (`train_masked_fsdp.py` resumes at epoch granularity)."""
         assert self.dict_data_train is not None, "call setup() first"
         weights = self._schedule_weights()
 
+        # pre-advance the (pure-function) schedule by skip_batches picks and
+        # hand each chain its sample-skip budget BEFORE any iteration starts
+        # — the prefetch thread / worker pool must never race a live mutation
+        pre_emitted = {k: 0 for k in weights}
+        for _ in range(int(skip_batches)):
+            k = min(weights, key=lambda k: (pre_emitted[k] + 1) / weights[k])
+            pre_emitted[k] += 1
+        for k, n in pre_emitted.items():
+            if n:
+                self.dict_data_train[k].source.skip_samples += (
+                    n * self.batch_size
+                )
+
         def scheduled():
             iters = {k: iter(self.dict_data_train[k]) for k in weights}
-            emitted = {k: 0 for k in weights}
+            emitted = dict(pre_emitted)
             while iters:
                 # proportional scheduler: the dataset currently furthest
                 # below its target share goes next (deterministic in dict
                 # order, identical on every process)
                 k = min(iters, key=lambda k: (emitted[k] + 1) / weights[k])
-                try:
-                    batch = next(iters[k])
-                except StopIteration:
-                    if not loop:
-                        del iters[k]
-                        continue
-                    iters[k] = iter(self.dict_data_train[k])
+                exhausted = False
+                while True:  # drain this chain's skipped (None) batches
                     try:
                         batch = next(iters[k])
                     except StopIteration:
-                        raise RuntimeError(
-                            f"dataset {k!r} yields no batches on this "
-                            f"process's file shard — shard too small for "
-                            f"the batch size"
-                        ) from None
+                        if not loop:
+                            del iters[k]
+                            exhausted = True
+                            break
+                        iters[k] = iter(self.dict_data_train[k])
+                        try:
+                            batch = next(iters[k])
+                        except StopIteration:
+                            raise RuntimeError(
+                                f"dataset {k!r} yields no batches on this "
+                                f"process's file shard — shard too small for "
+                                f"the batch size"
+                            ) from None
+                    if batch is not None:
+                        break
+                if exhausted:
+                    continue
                 emitted[k] += 1
                 batch["dict_key"] = k
                 yield batch

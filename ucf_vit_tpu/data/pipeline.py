@@ -364,11 +364,26 @@ class ProcessChannels:
                  batch_size: int = 1,
                  num_workers: int = 0,
                  return_qdt: bool = False,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 aug_seed: Optional[int] = None):
         self.source = source
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.return_qdt = return_qdt
+        # aug_seed: per-SAMPLE augmentation RNG — sample i's patchify draws
+        # come from SeedSequence([aug_seed, i]) regardless of worker count or
+        # skipping. Decouples augmentation from the chain rng (which the
+        # ShuffleBuffer owns exclusively) and makes num_workers>1 runs
+        # reproducible (pool workers previously seeded from os.getpid()).
+        # None keeps the legacy shared-rng behavior.
+        self.aug_seed = aug_seed
+        # samples to fast-forward past (mid-epoch resume): the upstream
+        # chain (read -> tile -> shuffle) runs normally so its state stays
+        # bit-identical, but the expensive per-sample transform (adaptive
+        # patchify + label serialization) is bypassed and a None placeholder
+        # is emitted for BatchIterator to collapse into None batches.
+        self.skip_samples = 0
+        self._next_idx = 0
         self.num_channels = num_channels
         self.single_channel = single_channel
         self.return_label = return_label
@@ -421,7 +436,13 @@ class ProcessChannels:
             return seq, size, pos, [c[3] for c in chans]
         return self.patchify(np.moveaxis(np_image, 0, -1))
 
-    def _make_sample(self, np_image, vars_out, label):
+    def _make_sample(self, np_image, vars_out, label, idx=None):
+        if self.adaptive_patching and self.aug_seed is not None and idx is not None:
+            # per-sample augmentation stream: identical whether the sample is
+            # transformed in-process, in any pool worker, or after a skip
+            self.patchify.rng = np.random.default_rng(
+                np.random.SeedSequence([self.aug_seed, int(idx)])
+            )
         sample = {"x": np.asarray(np_image, dtype=np.float32),
                   "variables": vars_out}
         if self.adaptive_patching:
@@ -469,7 +490,21 @@ class ProcessChannels:
             num_classes=self.num_classes,
             batch_size=self.batch_size,
             return_qdt=self.return_qdt,
+            aug_seed=self.aug_seed,
         )
+
+    def _indexed_raw(self):
+        """Raw samples tagged with their global consumption index; samples
+        covered by skip_samples come out as None (their upstream work —
+        read, tile, shuffle — has already run, keeping chain state exact)."""
+        for item in self._raw_samples():
+            idx = self._next_idx
+            self._next_idx += 1
+            if self.skip_samples > 0:
+                self.skip_samples -= 1
+                yield None
+            else:
+                yield (*item, idx)
 
     def __iter__(self):
         """Stream samples; with num_workers > 0 the patchify/serialize work
@@ -493,7 +528,14 @@ class ProcessChannels:
             initargs=(self._spec(),),
         ) as pool:
             pending = collections.deque()
-            for args in self._raw_samples():
+            for args in self._indexed_raw():
+                if args is None:
+                    # skipped sample: flush in-flight work first so emission
+                    # order matches consumption order, then emit the marker
+                    while pending:
+                        yield pending.popleft().result()
+                    yield None
+                    continue
                 pending.append(pool.submit(_pool_make_sample, args))
                 while len(pending) >= window:
                     yield pending.popleft().result()
@@ -501,8 +543,8 @@ class ProcessChannels:
                 yield pending.popleft().result()
 
     def _iter_local(self):
-        for img, vars_out, lbl in self._raw_samples():
-            yield self._make_sample(img, vars_out, lbl)
+        for item in self._indexed_raw():
+            yield None if item is None else self._make_sample(*item)
 
     def _raw_samples(self):
         # single_channel mode buffers each variable's stream and flushes a
@@ -532,8 +574,10 @@ _POOL_PC: Optional[ProcessChannels] = None
 
 
 def _pool_init(spec: dict) -> None:
-    """Worker-process initializer: build a source-less ProcessChannels with a
-    per-process RNG (patchify smoothing/canny augmentations stay random)."""
+    """Worker-process initializer: build a source-less ProcessChannels. With
+    aug_seed set (the DataModule path) every sample's augmentation draws are
+    a pure function of its index — identical across worker counts; the
+    per-process RNG is only the fallback for aug_seed=None callers."""
     global _POOL_PC
     _POOL_PC = ProcessChannels(
         source=None, rng=np.random.default_rng(os.getpid()), **spec
@@ -541,8 +585,8 @@ def _pool_init(spec: dict) -> None:
 
 
 def _pool_make_sample(args):
-    img, vars_out, lbl = args
-    return _POOL_PC._make_sample(img, vars_out, lbl)
+    img, vars_out, lbl, idx = args
+    return _POOL_PC._make_sample(img, vars_out, lbl, idx)
 
 
 def collate(samples: List[dict], dataset: str) -> dict:
@@ -577,8 +621,22 @@ class BatchIterator:
         self.dataset = dataset
 
     def __iter__(self):
-        buf = []
+        buf, skipped = [], 0
         for s in self.source:
+            if s is None:  # skipped sample (mid-epoch fast-forward)
+                assert not buf, (
+                    "skip boundary not aligned to a batch boundary — "
+                    "skip_samples must be a multiple of batch_size"
+                )
+                skipped += 1
+                if skipped == self.batch_size:
+                    yield None
+                    skipped = 0
+                continue
+            assert skipped == 0, (
+                "real sample arrived inside a skipped batch — skip_samples "
+                "must be a multiple of batch_size"
+            )
             buf.append(s)
             if len(buf) == self.batch_size:
                 yield collate(buf, self.dataset)

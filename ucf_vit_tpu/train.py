@@ -153,11 +153,15 @@ def build_dataloader(
             def __init__(self):
                 self._epoch = 0
 
-            def train_dataloader(self, loop: bool = False):
+            def train_dataloader(self, loop: bool = False,
+                                 skip_batches: int = 0):
                 # map-style loader: an epoch ends when the (sharded, shuffled)
                 # index list is exhausted — `loop` is accepted for interface
                 # parity with DataModule but a finite epoch is the correct
-                # semantics here (torch DistributedSampler behaves the same)
+                # semantics here (torch DistributedSampler behaves the same).
+                # skip_batches (mid-epoch resume): the shuffled index list is
+                # a pure function of self._epoch, so slicing it fast-forwards
+                # exactly (decode cost for skipped files is never paid)
                 del loop
                 return catsdogs_loader(
                     ds,
@@ -165,10 +169,14 @@ def build_dataloader(
                     shard_rank=jax.process_index(),
                     num_shards=jax.process_count(),
                     seed=self._epoch,
+                    skip_batches=skip_batches,
                 )
 
             def reset(self):
                 self._epoch += 1
+
+            def set_epoch(self, epoch: int):
+                self._epoch = int(epoch)
 
         n_batches = len(ds) // (global_batch * jax.process_count())
         return _CatsDogsModule(), None, {"catsdogs": n_batches}
@@ -229,19 +237,32 @@ def build_dataloader(
 _DIST_INITIALIZED = False
 
 
-def enable_compile_cache(cache_dir) -> None:
+def enable_compile_cache(cache_dir, min_compile_secs: float = 0.5) -> None:
     """Persistent XLA compilation cache (trainer.compile_cache_dir).
 
     First compile of a big model is minutes on TPU; with a persistent cache
     a restart — in particular the preemption -> checkpoint -> resume cycle
     this trainer is built around — reloads the executable in seconds. Off by
     default (jax's own default); shareable across hosts via a common
-    filesystem or gcs:// path."""
+    filesystem or gcs:// path. min_compile_secs
+    (trainer.compile_cache_min_secs) is the write threshold — 0 caches every
+    compile, however fast."""
     if not cache_dir:
         return
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    # jax materializes its cache singleton on first compile; if anything
+    # compiled before this call (e.g. a JAX_COMPILATION_CACHE_DIR env var
+    # was in effect), the dir update above is silently ignored until reset
+    try:
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:  # cache was never initialized — nothing to reset
+        pass
     # cache even quick compiles: resume pays dispatch, not recompilation
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)
+    )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
@@ -278,7 +299,10 @@ def train(
     log_every: int = 1,
 ) -> Dict:
     init_distributed()
-    enable_compile_cache(cfg.trainer.get("compile_cache_dir"))
+    enable_compile_cache(
+        cfg.trainer.get("compile_cache_dir"),
+        min_compile_secs=cfg.trainer.get("compile_cache_min_secs", 0.5),
+    )
     mesh = mesh_from_config(cfg.parallelism)
     model, loss_fn = build_task(cfg)
 
@@ -352,6 +376,10 @@ def train(
     # alone would deadlock the others mid-SPMD-step). A few extra steps
     # before checkpointing is harmless — SLURM/TPU grace windows are minutes.
     preempt_sync_every = max(1, int(trainer.get("preempt_sync_every", 25)))
+    # preemption drill (testing/chaos): raise the same flag SIGTERM raises
+    # once total_steps reaches this value — a deterministic way to exercise
+    # the preempt -> checkpoint -> mid-epoch-resume cycle
+    preempt_drill = int(trainer.get("preempt_after_steps", 0))
 
     def _preempt_now(step_idx: int) -> bool:
         """All processes must agree on preemption at the same step boundary:
@@ -440,6 +468,9 @@ def train(
                 f"initialized params from {trainer['init_params_from']}",
                 flush=True,
             )
+        resume_it = 0  # mid-epoch fast-forward (batches already consumed)
+        resume_total_steps = 0
+        resume_rng_data = None
         if trainer.get("resume_from_checkpoint", False):
             restore_state = state
             disk_has_ema = ckpt.state_has_key(
@@ -490,7 +521,26 @@ def train(
                       flush=True)
             epoch_start = int(payload["epoch"]) + 1
             loss_list = ckpt.loss_list_from_payload(payload)
-            print(f"resumed from epoch {epoch_start - 1}", flush=True)
+            # Mid-epoch progress (present in preemption checkpoints): re-enter
+            # the interrupted epoch and fast-forward the data stream past the
+            # batches already trained on, continue the step counter, and
+            # continue the RNG stream exactly — instead of re-running the
+            # whole epoch (the reference's only option,
+            # `train_masked_fsdp.py:405-411` resumes at epoch granularity).
+            resume_it = int(np.asarray(payload.get("data_it", 0)))
+            resume_total_steps = int(np.asarray(payload.get("total_steps", 0)))
+            if "rng_key" in payload:
+                resume_rng_data = np.asarray(payload["rng_key"])
+            if resume_it > 0:
+                epoch_start = int(payload["epoch"])
+                print(
+                    f"resumed mid-epoch: epoch {epoch_start}, "
+                    f"fast-forwarding {resume_it} batches "
+                    f"(step {resume_total_steps})",
+                    flush=True,
+                )
+            else:
+                print(f"resumed from epoch {epoch_start - 1}", flush=True)
 
         # one jitted step per variables-set: single_channel / multi-dataset
         # batches carry different variable names (static ids -> retrace per
@@ -613,8 +663,14 @@ def train(
                 tb_writer = SummaryWriter(trainer["tensorboard_dir"])
             except Exception as e:  # torch absent/broken: log and continue
                 print(f"tensorboard_dir ignored ({e})", flush=True)
-        total_steps = 0
+        total_steps = resume_total_steps
         rng = jax.random.key(int(trainer.get("seed", 0)))
+        if resume_rng_data is not None:
+            # continue the dropout/mask/noise RNG stream where the previous
+            # run left off (a fresh key(seed) would replay the run's draws)
+            rng = jax.random.wrap_key_data(
+                jnp.asarray(resume_rng_data, jnp.uint32)
+            )
 
         # One-step-lagged loss materialization: `float(loss)` blocks until
         # the step finishes on device, so resolving step n's loss AFTER
@@ -678,10 +734,18 @@ def train(
                         tb_writer.add_scalar(f"train/{k}", float(v), p_step)
 
         for epoch in range(epoch_start, max_epochs):
+            # pin the shuffle epoch so resumed and uninterrupted runs see the
+            # same epoch-E file permutation (no-op mid-run)
+            if dm is not None:
+                dm.set_epoch(epoch)
+            epoch_skip, resume_it = resume_it, 0  # only the re-entered epoch
             # loop=True: the dataset schedule stays a pure function of the
             # step index across processes (see DataModule.train_dataloader)
-            it = synth if synth is not None else dm.train_dataloader(loop=True)
-            count, t_epoch = 0, time.perf_counter()
+            it = (
+                synth if synth is not None
+                else dm.train_dataloader(loop=True, skip_batches=epoch_skip)
+            )
+            count, t_epoch = epoch_skip, time.perf_counter()
             epoch_state["loss"] = 0.0
             epoch_state["t_last"] = t_epoch
             pending = None
@@ -709,6 +773,8 @@ def train(
                 state, loss, aux = step(state, sbatch, step_rng)
                 count += 1
                 total_steps += 1
+                if preempt_drill and total_steps == preempt_drill:
+                    preempted["flag"] = True
                 if pending is not None:
                     _resolve(pending)  # overlaps with the step just submitted
                 pending = (epoch, count, total_steps, loss, aux)
@@ -722,7 +788,11 @@ def train(
                     path = ckpt.save_checkpoint(
                         trainer["checkpoint_path"],
                         trainer.get("checkpoint_filename", "last"),
-                        epoch - 1,  # re-run the interrupted epoch on resume
+                        # record the interrupted epoch + position: resume
+                        # re-enters it and fast-forwards `data_it` batches
+                        # (step-granularity fault tolerance; the reference
+                        # re-runs the epoch from the start)
+                        epoch,
                         state,
                         loss_list,
                         # write the OLDEST parity slot, not the newest: a
@@ -730,6 +800,11 @@ def train(
                         # checkpoint with it
                         slot_epoch=epoch,
                         head_meta=head_meta,
+                        extra={
+                            "data_it": count,
+                            "total_steps": total_steps,
+                            "rng_key": np.asarray(jax.random.key_data(rng)),
+                        },
                     )
                     if jax.process_index() == 0:
                         print(
@@ -737,15 +812,26 @@ def train(
                             f"saved {path}", flush=True,
                         )
                 break
-            loss_list.append(epoch_loss / max(count, 1))
+            loss_list.append(epoch_loss / max(count - epoch_skip, 1))
             if jax.process_index() == 0:
                 print(
                     f"epoch {epoch} done: mean loss {loss_list[-1]:.5f} "
-                    f"({count} its, {time.perf_counter() - t_epoch:.1f}s)",
+                    f"({count - epoch_skip} its"
+                    + (f" after {epoch_skip} skipped" if epoch_skip else "")
+                    + f", {time.perf_counter() - t_epoch:.1f}s)",
                     flush=True,
                 )
+            # split the validation key BEFORE the checkpoint save so the
+            # saved rng is the post-validation stream — a resumed run then
+            # continues draw-for-draw where an uninterrupted one would be
+            vrng = None
+            if val_every > 0 and (epoch + 1) % val_every == 0:
+                rng, vrng = jax.random.split(rng)
             if trainer.get("checkpoint_path"):
-                # async: the write overlaps the next epoch's compute
+                # async: the write overlaps the next epoch's compute.
+                # data_it=0: the epoch completed — resume starts at epoch+1;
+                # rng/step continuity keys ride along so that resume also
+                # continues the draw stream instead of replaying it.
                 ckpt.save_checkpoint(
                     trainer["checkpoint_path"],
                     trainer.get("checkpoint_filename", "last"),
@@ -754,9 +840,13 @@ def train(
                     loss_list,
                     block=False,
                     head_meta=head_meta,
+                    extra={
+                        "data_it": 0,
+                        "total_steps": total_steps,
+                        "rng_key": np.asarray(jax.random.key_data(rng)),
+                    },
                 )
-            if val_every > 0 and (epoch + 1) % val_every == 0:
-                rng, vrng = jax.random.split(rng)
+            if vrng is not None:
                 vloss, vaux, vn = run_validation(state, vrng)
                 if jax.process_index() == 0:
                     msg = f"epoch {epoch} val loss {vloss:.5f} ({vn} batches)"
