@@ -185,3 +185,97 @@ def test_two_process_preemption_sync(tmp_path):
     assert "EXITED_CLEANLY" in out0 and "preempted in epoch" in out0, out0[-1500:]
     assert "EXITED_CLEANLY" in out1, out1[-1500:]
     assert os.path.isdir(ck) and os.listdir(ck), "no checkpoint written"
+
+
+_MIDEPOCH_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["UCF_REPO"])
+import jax
+jax.distributed.initialize(
+    coordinator_address="localhost:" + os.environ["UCF_PORT"],
+    num_processes=2, process_id=int(sys.argv[1]),
+)
+sys.path.insert(0, os.environ["UCF_REPO"] + "/tests")
+from test_midepoch_resume import _mae_file_cfg
+from ucf_vit_tpu.train import train
+cfg = _mae_file_cfg(os.environ["UCF_DATA"], os.environ["UCF_CK"],
+                    os.environ["UCF_METRICS"])
+cfg.raw["parallelism"]["simple_ddp_size"] = 2
+cfg.raw["trainer"]["preempt_sync_every"] = 1
+cfg.raw["trainer"]["preempt_after_steps"] = int(os.environ["UCF_DRILL"])
+cfg.raw["trainer"]["resume_from_checkpoint"] = os.environ["UCF_RESUME"] == "1"
+train(cfg)
+print(f"RANK{jax.process_index()} EXITED_CLEANLY", flush=True)
+"""
+
+
+def _run_midepoch_pair(env_extra, tmp_env):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
+        UCF_REPO=repo, UCF_PORT=str(_free_port()), **tmp_env, **env_extra,
+    )
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _MIDEPOCH_WORKER, str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+    return outs
+
+
+def test_two_process_midepoch_resume_bit_exact(tmp_path):
+    """The deterministic preemption drill fires on BOTH ranks at the same
+    step (preempt_sync_every=1 consensus); resume re-enters the epoch on
+    both ranks, each fast-forwarding its own per-process file shard — and
+    rank 0's per-step losses equal the uninterrupted 2-process run's
+    exactly. This is the multi-host version of
+    test_midepoch_resume.test_trainer_midepoch_resume_bit_exact."""
+    import json
+
+    from test_midepoch_resume import _make_ct_dataset
+
+    data = str(tmp_path / "data")
+    _make_ct_dataset(data, 8, shape=(32, 32, 4), seed=5)
+
+    def metrics(path):
+        with open(path) as f:
+            return [json.loads(l) for l in f if "loss" in l]
+
+    # A: uninterrupted 2-process run
+    m_a = str(tmp_path / "a.jsonl")
+    _run_midepoch_pair(
+        {"UCF_DRILL": "0", "UCF_RESUME": "0"},
+        {"UCF_DATA": data, "UCF_CK": str(tmp_path / "ck_a"),
+         "UCF_METRICS": m_a},
+    )
+    rec_a = metrics(m_a)
+    assert [(r["epoch"], r["it"]) for r in rec_a] == [
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)
+    ]
+
+    # B1: drill preempts both ranks after step 2; B2: resume mid-epoch
+    m_b = str(tmp_path / "b.jsonl")
+    ck_b = str(tmp_path / "ck_b")
+    out0, _ = _run_midepoch_pair(
+        {"UCF_DRILL": "2", "UCF_RESUME": "0"},
+        {"UCF_DATA": data, "UCF_CK": ck_b, "UCF_METRICS": m_b},
+    )
+    assert "preempted in epoch 0 after 2 its" in out0, out0[-1500:]
+    out0, _ = _run_midepoch_pair(
+        {"UCF_DRILL": "0", "UCF_RESUME": "1"},
+        {"UCF_DATA": data, "UCF_CK": ck_b, "UCF_METRICS": m_b},
+    )
+    assert "resumed mid-epoch: epoch 0, fast-forwarding 2 batches" in out0
+
+    rec_b = metrics(m_b)
+    assert [(r["epoch"], r["it"]) for r in rec_b] == [
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)
+    ]
+    np.testing.assert_allclose(
+        [r["loss"] for r in rec_b], [r["loss"] for r in rec_a], rtol=1e-6
+    )
