@@ -37,6 +37,9 @@ OPTIONAL_PAYLOAD_KEYS = {
     "data_it": lambda: np.asarray(0),
     "total_steps": lambda: np.asarray(0),
     "rng_key": lambda: np.zeros((2,), np.uint32),
+    # process count at save time: mid-epoch fast-forward replays per-process
+    # file shards, so data_it is only meaningful under the same topology
+    "num_procs": lambda: np.asarray(0),
 }
 
 

@@ -531,7 +531,26 @@ def train(
             resume_total_steps = int(np.asarray(payload.get("total_steps", 0)))
             if "rng_key" in payload:
                 resume_rng_data = np.asarray(payload["rng_key"])
-            if resume_it > 0:
+            saved_procs = int(np.asarray(payload.get("num_procs", 0)))
+            if resume_it > 0 and saved_procs and (
+                saved_procs != jax.process_count()
+            ):
+                # per-process file shards changed: the recorded mid-epoch
+                # position doesn't map onto the new shard streams. Fall back
+                # to re-running the interrupted epoch (the reference's only
+                # mode) rather than skipping the wrong samples.
+                if jax.process_index() == 0:
+                    print(
+                        f"mid-epoch checkpoint was written by {saved_procs} "
+                        f"processes but this run has {jax.process_count()}; "
+                        f"re-running epoch {int(payload['epoch'])} from its "
+                        f"start (exact fast-forward requires the same "
+                        f"process count)",
+                        flush=True,
+                    )
+                resume_it = 0
+                epoch_start = int(payload["epoch"])
+            elif resume_it > 0:
                 epoch_start = int(payload["epoch"])
                 print(
                     f"resumed mid-epoch: epoch {epoch_start}, "
@@ -804,6 +823,7 @@ def train(
                             "data_it": count,
                             "total_steps": total_steps,
                             "rng_key": np.asarray(jax.random.key_data(rng)),
+                            "num_procs": jax.process_count(),
                         },
                     )
                     if jax.process_index() == 0:
