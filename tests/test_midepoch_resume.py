@@ -250,6 +250,41 @@ def test_trainer_midepoch_resume_bit_exact(tmp_path):
     np.testing.assert_allclose(loss_b[2:], loss_a[2:], rtol=1e-7)
 
 
+def test_preempt_on_epoch_boundary_records_completed_epoch(tmp_path):
+    """Preemption landing on the epoch's FINAL iteration: the epoch is
+    complete — the checkpoint must say data_it=0 (resume starts the next
+    epoch) and the epoch's loss must be in the history, not a spurious
+    0.0 after skipping a full epoch's stream."""
+    from ucf_vit_tpu.train import train
+
+    data_root = str(tmp_path / "data")
+    _make_ct_dataset(data_root, 6, shape=(32, 32, 4), seed=5)
+
+    m_a = str(tmp_path / "a.jsonl")
+    train(_mae_file_cfg(data_root, str(tmp_path / "ck_a"), m_a))
+    rec_a = _read_metrics(m_a)
+
+    m_b = str(tmp_path / "b.jsonl")
+    ck_b = str(tmp_path / "ck_b")
+    cfg = _mae_file_cfg(data_root, ck_b, m_b)
+    cfg.raw["trainer"]["preempt_after_steps"] = 3  # = last it of epoch 0
+    out1 = train(cfg)
+    assert len(out1["loss_list"]) == 1, "epoch 0 completed -> loss recorded"
+
+    cfg2 = _mae_file_cfg(data_root, ck_b, m_b)
+    cfg2.raw["trainer"]["resume_from_checkpoint"] = True
+    out2 = train(cfg2)
+    assert len(out2["loss_list"]) == 2
+
+    rec_b = _read_metrics(m_b)
+    assert [(r["epoch"], r["it"]) for r in rec_b] == [
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)
+    ]
+    np.testing.assert_allclose(
+        [r["loss"] for r in rec_b], [r["loss"] for r in rec_a], rtol=1e-6
+    )
+
+
 def test_set_epoch_pins_shuffle(tmp_path):
     """set_epoch(E) reproduces the stream an uninterrupted run sees at epoch
     E (reset() from a fresh process restarts the reshuffle at 0)."""

@@ -803,6 +803,14 @@ def train(
                 _resolve(pending)
             epoch_loss = epoch_state["loss"]
             if preempted["flag"]:
+                # boundary case: the signal landed on the epoch's final
+                # iteration — the epoch IS complete, so record it as such
+                # (a mid-epoch save with data_it == iterations_per_epoch
+                # would make resume skip a whole epoch's stream only to run
+                # zero its and log a meaningless 0.0 epoch loss)
+                epoch_done = count >= iterations_per_epoch
+                if epoch_done:
+                    loss_list.append(epoch_loss / max(count - epoch_skip, 1))
                 if trainer.get("checkpoint_path"):
                     path = ckpt.save_checkpoint(
                         trainer["checkpoint_path"],
@@ -820,7 +828,7 @@ def train(
                         slot_epoch=epoch,
                         head_meta=head_meta,
                         extra={
-                            "data_it": count,
+                            "data_it": 0 if epoch_done else count,
                             "total_steps": total_steps,
                             "rng_key": np.asarray(jax.random.key_data(rng)),
                             "num_procs": jax.process_count(),
