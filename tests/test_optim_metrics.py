@@ -165,6 +165,46 @@ def test_metrics_summary_tool(tmp_path):
     assert summarize(str(p), last=5)["records"] == 5
 
 
+def test_metrics_summary_goodput(tmp_path):
+    """run_start markers + timestamps -> restarts, downtime, goodput. Two
+    runs: 3 steps of 1 s, a 10 s gap, a resume marker at (epoch 0, it 3),
+    2 more steps."""
+    import json
+
+    from ucf_vit_tpu.tools.metrics_summary import summarize
+
+    p = tmp_path / "m.jsonl"
+    t = 1000.0
+    with open(p, "w") as f:
+        f.write(json.dumps({"run_start": True, "ts": t, "resume_epoch": 0,
+                            "resume_step": 0, "resume_it": 0,
+                            "num_procs": 1}) + "\n")
+        for i in range(3):
+            t += 1.0
+            f.write(json.dumps({"epoch": 0, "it": i + 1, "step": i + 1,
+                                "loss": 1.0, "ms_per_it": 1000.0,
+                                "samples_per_s": 2.0, "ts": t}) + "\n")
+        t += 10.0  # preempt -> requeue window
+        f.write(json.dumps({"run_start": True, "ts": t, "resume_epoch": 0,
+                            "resume_step": 3, "resume_it": 3,
+                            "num_procs": 1}) + "\n")
+        for i in range(3, 5):
+            t += 1.0
+            f.write(json.dumps({"epoch": 0, "it": i + 1, "step": i + 1,
+                                "loss": 1.0, "ms_per_it": 1000.0,
+                                "samples_per_s": 2.0, "ts": t}) + "\n")
+
+    g = summarize(str(p))["goodput"]
+    assert g["runs"] == 2 and g["restarts"] == 1
+    assert g["resume_points"][1] == {"epoch": 0, "it": 3, "step": 3}
+    assert g["productive_s"] == 5.0
+    assert g["restart_downtime_s"] == 10.0
+    assert g["span_s"] == 15.0
+    assert abs(g["goodput_pct"] - 100.0 * 5.0 / 15.0) < 0.1
+    # epochs list must not be polluted by run_start markers
+    assert summarize(str(p))["epochs"] == [0]
+
+
 def test_memory_report_tool():
     """AOT HBM report: compiles the real train step against abstract inputs
     (no device memory), and the accounting must be self-consistent — args

@@ -42,7 +42,7 @@ def summarize(path: str, last: int | None = None) -> dict:
     k = max(len(losses) // 10, 1)
     out = {
         "records": len(recs),
-        "epochs": sorted({int(r.get("epoch", 0)) for r in recs}),
+        "epochs": sorted({int(r["epoch"]) for r in recs if "epoch" in r}),
         "ms_per_it": stats("ms_per_it"),
         "samples_per_s": stats("samples_per_s"),
         "loss_first10pct": sum(losses[:k]) / k if losses else None,
@@ -53,6 +53,45 @@ def summarize(path: str, last: int | None = None) -> dict:
     if val:
         out["val_loss_first"] = val[0]
         out["val_loss_last"] = val[-1]
+
+    # goodput accounting from run_start markers + per-record timestamps:
+    # restarts, downtime between runs (last record of run N -> run N+1's
+    # marker: the preempt/requeue/compile window), and goodput = productive
+    # step time / total wall span. Mid-epoch resume makes a restart cost
+    # only this downtime — no batches are re-trained (resume_it in the
+    # marker says where each run picked up).
+    starts = [r for r in recs if r.get("run_start")]
+    if starts and any("ts" in r for r in recs):
+        runs = len(starts)
+        productive_s = sum(
+            float(r["ms_per_it"]) for r in recs if "ms_per_it" in r
+        ) / 1e3
+        ts_all = [float(r["ts"]) for r in recs if "ts" in r]
+        span_s = max(ts_all) - min(ts_all)
+        downtime_s = 0.0
+        prev_ts = None
+        for r in recs:
+            if r.get("run_start") and prev_ts is not None:
+                downtime_s += max(0.0, float(r["ts"]) - prev_ts)
+            if "ts" in r:
+                prev_ts = float(r["ts"])
+        out["goodput"] = {
+            "runs": runs,
+            "restarts": runs - 1,
+            "resume_points": [
+                {"epoch": int(r.get("resume_epoch", 0)),
+                 "it": int(r.get("resume_it", 0)),
+                 "step": int(r.get("resume_step", 0))}
+                for r in starts
+            ],
+            "productive_s": round(productive_s, 3),
+            "restart_downtime_s": round(downtime_s, 3),
+            "span_s": round(span_s, 3),
+            "goodput_pct": (
+                round(100.0 * productive_s / span_s, 2) if span_s > 0
+                else None
+            ),
+        }
     return out
 
 

@@ -670,6 +670,18 @@ def train(
 
             os.makedirs(os.path.dirname(trainer["metrics_path"]) or ".", exist_ok=True)
             metrics_file = open(trainer["metrics_path"], "a")
+            # run-start marker: one per process launch. The summarizer
+            # (tools/metrics_summary.py) turns these + per-step timestamps
+            # into restart counts, downtime, and goodput — the accounting a
+            # preemptible fleet runs on.
+            import json as _json
+
+            metrics_file.write(_json.dumps({
+                "run_start": True, "ts": time.time(),
+                "resume_epoch": epoch_start, "resume_step": resume_total_steps,
+                "resume_it": resume_it, "num_procs": jax.process_count(),
+            }) + "\n")
+            metrics_file.flush()
         tb_writer = None
         if trainer.get("tensorboard_dir") and jax.process_index() == 0:
             # TensorBoard scalars next to the JSONL (trainer.metrics_path):
@@ -739,7 +751,7 @@ def train(
                     rec = {
                         "epoch": p_epoch, "it": p_it, "step": p_step,
                         "loss": loss_f, "ms_per_it": dt * 1e3,
-                        "samples_per_s": sps,
+                        "samples_per_s": sps, "ts": time.time(),
                     }
                     if aux:
                         rec.update({k: float(v) for k, v in aux.items()})
