@@ -358,3 +358,31 @@ def test_serve_hot_reload(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_preprocess_pool_matches_inprocess():
+    """--preprocess-workers: pooled adaptive preprocessing is byte-identical
+    to the in-process path (fixed-index augmentation RNG makes workers
+    interchangeable), and repeated identical requests produce identical
+    trees — per request, not merely per process lifetime."""
+    cfg = _cfg(
+        "unetr",
+        extra_init={"adaptive_patching": True, "fixed_length": 16,
+                    "patch_size": 4, "num_classes": 2,
+                    "use_adaptive_pos_emb": True, "feature_size": 4,
+                    "skip_connection": True},
+        extra_data={"num_classes": 2},
+    )
+    local = make_preprocessor(cfg)
+    pooled = make_preprocessor(cfg, workers=2)
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        x = rng.random((1, 16, 16)).astype(np.float32)
+        a, b = local(x), pooled(x)
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        # per-request determinism: same input again -> identical output
+        a2 = local(x)
+        for k in a:
+            np.testing.assert_array_equal(a[k], a2[k], err_msg=k)

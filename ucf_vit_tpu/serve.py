@@ -56,14 +56,27 @@ from ucf_vit_tpu.train import _init_variables, example_batch
 # ---------------------------------------------------------------------------
 
 
-def make_preprocessor(cfg: Config) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
+def make_preprocessor(
+    cfg: Config, workers: int = 0
+) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
     """Returns ``pre(sample) -> {key: array}`` (no batch dim).
 
     Non-adaptive configs take the tensor the model consumes directly:
     ``[C, *tile]`` float32. Adaptive configs take the same raw ``[C, *tile]``
     tile and run the training pipeline's patchify (quadtree/octree serialize
     via ``ProcessChannels._make_sample``), so serving-time token layouts are
-    bit-identical to training's."""
+    bit-identical to training's.
+
+    Augmentation draws use the per-sample-index RNG at a FIXED index, so
+    identical requests produce identical trees — per request, not merely per
+    process lifetime (an instance rng would advance between requests).
+
+    ``workers > 0`` runs the patchify in a spawn process pool: HTTP handler
+    threads submit and block, so concurrent requests preprocess on separate
+    cores instead of serializing on the GIL-bound tree build (the serving
+    bench's measured host ceiling, BASELINE.md r3). Output is byte-identical
+    to the in-process path (the fixed-index RNG makes workers
+    interchangeable)."""
     nd = 2 if cfg.twoD else 3
     tile = tuple(cfg.tile_size[:nd])
     c = cfg.max_channels
@@ -94,22 +107,50 @@ def make_preprocessor(cfg: Config) -> Callable[[np.ndarray], Dict[str, np.ndarra
         twoD=cfg.twoD,
         dataset=cfg.dataset,
         num_classes=cfg.data.get("num_classes"),
-        # deterministic serving: patchify's smooth/canny draw is seeded, so
-        # identical requests get identical trees (training keeps it random)
         rng=np.random.default_rng(int(cfg.data.get("seed", 0))),
+        # deterministic serving: every request's patchify draws come from
+        # SeedSequence([seed, 0]) — identical requests -> identical trees,
+        # in-process or in any pool worker (training keeps draws per-sample)
+        aug_seed=int(cfg.data.get("seed", 0)),
     )
     variables = tuple(cfg.default_vars[:c] or ("v",))
 
-    def pre(arr: np.ndarray) -> Dict[str, np.ndarray]:
+    def check(arr: np.ndarray) -> np.ndarray:
         arr = np.asarray(arr, dtype=np.float32)
         if arr.shape != expect:
             raise ValueError(
                 f"expected input shape {expect} [C, *tile], got {arr.shape}"
             )
-        sample = pc._make_sample(arr, variables, None)
+        return arr
+
+    if workers <= 0:
+        def pre(arr: np.ndarray) -> Dict[str, np.ndarray]:
+            sample = pc._make_sample(check(arr), variables, None, 0)
+            return {k: v for k, v in sample.items()
+                    if isinstance(v, np.ndarray)}
+
+        return pre
+
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    from ucf_vit_tpu.data.pipeline import _pool_init, _pool_make_sample
+
+    pool = ProcessPoolExecutor(
+        max_workers=int(workers),
+        # spawn: never fork a process holding the live TPU client
+        mp_context=multiprocessing.get_context("spawn"),
+        initializer=_pool_init,
+        initargs=(pc._spec(),),
+    )
+
+    def pre_pooled(arr: np.ndarray) -> Dict[str, np.ndarray]:
+        sample = pool.submit(
+            _pool_make_sample, (check(arr), variables, None, 0)
+        ).result()
         return {k: v for k, v in sample.items() if isinstance(v, np.ndarray)}
 
-    return pre
+    return pre_pooled
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +164,7 @@ def build_predictor(
     use_ema: bool = False,
     max_batch: Optional[int] = None,
     seed: int = 0,
+    preprocess_workers: int = 0,
 ):
     """Build ``(run_batch, preprocess, max_batch)`` for serving.
 
@@ -291,7 +333,7 @@ def build_predictor(
         with _mesh_ctx(mesh):
             return jfwd(holder["params"], dev)
 
-    return run_batch, make_preprocessor(cfg), max_batch, (
+    return run_batch, make_preprocessor(cfg, preprocess_workers), max_batch, (
         model, holder, load_weights,
     )
 
@@ -584,6 +626,7 @@ def make_server(
     use_ema: bool = False,
     num_generate: int = 8,
     pipeline_depth: int = 0,
+    preprocess_workers: int = 0,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving — call ``serve_forever()``).
 
@@ -625,7 +668,8 @@ def make_server(
         )
     else:
         run_batch, preprocess, mb, (_, holder, load_weights) = build_predictor(
-            cfg, checkpoint_dir, use_ema=use_ema, max_batch=max_batch
+            cfg, checkpoint_dir, use_ema=use_ema, max_batch=max_batch,
+            preprocess_workers=preprocess_workers,
         )
         Handler.reload_weights = staticmethod(load_weights)
         Handler.weights_holder = holder
@@ -673,6 +717,11 @@ def main(argv=None):
                         help="in-flight batches: 1 overlaps batch N+1's "
                              "transfer with batch N's compute (measure "
                              "first; see MicroBatcher docs); 0 serializes")
+    parser.add_argument("--preprocess-workers", type=int, default=0,
+                        help="adaptive configs: patchify process pool size "
+                             "— concurrent requests preprocess on separate "
+                             "cores instead of serializing on the GIL "
+                             "(output byte-identical to in-process)")
     parser.add_argument("--compile-cache", default=None,
                         help="persistent XLA compile-cache dir: restarts "
                              "reload the serving executable in seconds "
@@ -689,6 +738,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         use_ema=args.ema, num_generate=args.num_generate,
         pipeline_depth=args.pipeline_depth,
+        preprocess_workers=args.preprocess_workers,
     )
     print(
         f"serving task={cfg.task} on {args.host}:{server.server_address[1]} "
