@@ -397,6 +397,13 @@ def train(
         )
         return bool(np.asarray(flags).any())
 
+    # Replica-consistency detector (parallel/sync_check.py): every N steps,
+    # fingerprint each device's local param shards on-device and assert that
+    # devices holding the same logical blocks (ddp/sp replicas) are
+    # bit-equal — catches silent HBM corruption and rank-skew divergence the
+    # reference never checks for. 0 = off.
+    sync_check_every = int(trainer.get("sync_check_every", 0))
+
     ema_decay = trainer.get("ema_decay")
     ema_decay = None if ema_decay is None else float(ema_decay)
     assert ema_decay is None or 0.0 < ema_decay < 1.0, (
@@ -809,6 +816,21 @@ def train(
                 if pending is not None:
                     _resolve(pending)  # overlaps with the step just submitted
                 pending = (epoch, count, total_steps, loss, aux)
+                if sync_check_every and total_steps % sync_check_every == 0:
+                    # raises ReplicaDesyncError with the divergent device
+                    # ids; stride-gated on the shared step counter so every
+                    # process runs the SPMD fingerprint program together
+                    from ucf_vit_tpu.parallel.sync_check import (
+                        check_replica_consistency,
+                    )
+
+                    report = check_replica_consistency(state.params, mesh)
+                    if jax.process_index() == 0 and metrics_file is not None:
+                        metrics_file.write(_json.dumps({
+                            "sync_check": report.describe(),
+                            "step": total_steps,
+                        }) + "\n")
+                        metrics_file.flush()
                 if profile_dir and total_steps == 15:
                     jax.profiler.stop_trace()
             if pending is not None:
