@@ -42,3 +42,31 @@ def test_moe_config_data_par_size_counts_ep_axis():
     cfg = load_config(path)
     assert cfg.data_par_size == 8
     assert cfg.world_size == 8
+
+
+def test_dropout_knobs_reach_the_model():
+    """YAML drop knobs must land on the model, same keys as the reference
+    scripts plumb (`train_class_simple.py:97,216`) — a silently-ignored
+    drop_rate would change training without a loud failure."""
+    import copy
+    import yaml
+    from ucf_vit_tpu.config import Config
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "imagenet",
+        "classification", "base_config.yaml",
+    )
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    raw = copy.deepcopy(raw)
+    ia = raw["model"]["net"]["init_args"]
+    ia["drop_rate"] = 0.11
+    ia["pos_drop_rate"] = 0.07
+    ia["patch_drop_rate"] = 0.25
+    ia["drop_path"] = 0.05
+    cfg = Config(raw=raw, task="classification")
+    model, _ = build_task(cfg)
+    assert model.drop_rate == 0.11
+    assert model.pos_drop_rate == 0.07
+    assert model.patch_drop_rate == 0.25
+    assert model.drop_path_rate == 0.05

@@ -140,3 +140,42 @@ def test_remat_with_dropout_and_droppath():
     o1 = model.apply(params, x, deterministic=True)
     o2 = model.apply(params, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_patch_dropout():
+    """PatchDropout parity (reference `simple/arch.py:240-246,473` — timm
+    semantics): identity at eval; at train time keeps max(1, int(L*(1-rate)))
+    non-prefix tokens per sample, prefix tokens always survive."""
+    model = _tiny_vit(patch_drop_rate=0.5)
+    x = jnp.ones((2, 3, 32, 32))
+    params = model.init(jax.random.key(0), x)
+
+    # eval path: identity — logits match the rate-0 model bit-exactly
+    ref = _tiny_vit(patch_drop_rate=0.0)
+    out_eval = model.apply(params, x, deterministic=True)
+    out_ref = ref.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_ref))
+
+    # train path: runs with a dropout rng and keeps static shapes under jit
+    fwd = jax.jit(
+        lambda p, x, k: model.apply(
+            p, x, deterministic=False, rngs={"dropout": k}
+        )
+    )
+    out_train = fwd(params, x, jax.random.key(1))
+    assert out_train.shape == (2, 10)
+    assert np.isfinite(np.asarray(out_train)).all()
+
+    # the kept-token count itself: 16 tokens, rate 0.5 -> 8 kept (+ cls)
+    feats = model.apply(
+        params,
+        x,
+        deterministic=False,
+        rngs={"dropout": jax.random.key(2)},
+        method=model.forward_features,
+    )
+    assert feats.shape == (2, 1 + 8, 48)
+
+    # different rngs drop different tokens -> different logits
+    out_b = fwd(params, x, jax.random.key(3))
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_b))

@@ -154,6 +154,7 @@ class DiffusionVIT(VIT):
         after the positional embedding."""
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
+        x = self.patch_drop(x, deterministic)  # reference order: `:1262`
         time_emb = self._time_table[t]  # [B, D]
         time_emb = self.time_embedding_map(
             time_emb.astype(x.dtype), deterministic=deterministic

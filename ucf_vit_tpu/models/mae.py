@@ -263,6 +263,12 @@ class MAE(VIT):
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
         x, mask, ids_restore = self.random_masking(x, mask_noise)
+        # Parity: the reference applies PatchDropout after masking
+        # (`simple/arch.py:742`); as there, patch_drop > 0 permutes the kept
+        # set so the decoder's ids_restore unshuffle no longer maps tokens to
+        # their true positions — usable only as a regularizer, and no shipped
+        # config enables it.
+        x = self.patch_drop(x, deterministic)
         if self.seq_pack > 1:
             b, n, d = x.shape
             assert b % self.seq_pack == 0, (

@@ -248,11 +248,6 @@ class VIT(nn.Module):
 
     def setup(self):
         assert self.pos_embed in ("", "none", "learn")
-        if self.patch_drop_rate > 0:
-            raise NotImplementedError(
-                "patch_drop_rate > 0 changes sequence length dynamically; all "
-                "reference configs run 0. Use MAE masking for token dropping."
-            )
         adaptive_linear = self.adaptive_patching and not self.sqrt_len_method
 
         # --- token embeds --------------------------------------------------
@@ -538,6 +533,25 @@ class VIT(nn.Module):
         x = x + pos
         return self.pos_drop(x, deterministic=deterministic)
 
+    def patch_drop(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        """timm-semantics PatchDropout (reference `simple/arch.py:240-246`,
+        applied after `_pos_embed` at `:473`): at train time keep a random
+        `max(1, int(L * (1 - rate)))` subset of the non-prefix tokens
+        (unordered, per-sample); identity at eval. The keep count is static,
+        so the jit trace keeps fixed shapes."""
+        if self.patch_drop_rate <= 0 or deterministic:
+            return x
+        npt = self.num_prefix_tokens
+        prefix, tokens = x[:, :npt], x[:, npt:]
+        b, l, _ = tokens.shape
+        num_keep = max(1, int(l * (1.0 - self.patch_drop_rate)))
+        noise = jax.random.uniform(self.make_rng("dropout"), (b, l))
+        keep = jnp.argsort(noise, axis=-1)[:, :num_keep]
+        tokens = jnp.take_along_axis(tokens, keep[:, :, None], axis=1)
+        if npt:
+            return jnp.concatenate([prefix, tokens], axis=1)
+        return tokens
+
     # --------------------------------------------------------------- encoder
 
     def _block_seg_len(self):
@@ -576,6 +590,7 @@ class VIT(nn.Module):
     ) -> jnp.ndarray:
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
+        x = self.patch_drop(x, deterministic)
         x = self.run_blocks(x, deterministic)
         return self.norm(x)
 
@@ -599,6 +614,7 @@ class VIT(nn.Module):
         )
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
+        x = self.patch_drop(x, deterministic)
         if self.scan_layers:
             x, ys = self.blocks_scan(x, deterministic)  # ys: [depth, B, L, D]
             intermediates = [ys[i][:, self.num_prefix_tokens :] for i in take]

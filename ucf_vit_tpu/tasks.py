@@ -54,6 +54,13 @@ def _common_kwargs(cfg: Config) -> dict:
         num_heads=int(ia.get("num_heads", 12)),
         mlp_ratio=float(ia.get("mlp_ratio", 4)),
         drop_path_rate=float(ia.get("drop_path", 0.0)),
+        # head / positional / token dropout knobs, same YAML keys as the
+        # reference scripts (`train_class_simple.py:97,216`)
+        drop_rate=float(ia.get("drop_rate", 0.0)),
+        pos_drop_rate=float(ia.get("pos_drop_rate", 0.0)),
+        patch_drop_rate=float(ia.get("patch_drop_rate", 0.0)),
+        proj_drop_rate=float(ia.get("proj_drop_rate", 0.0)),
+        attn_drop_rate=float(ia.get("attn_drop_rate", 0.0)),
         twoD=cfg.twoD,
         default_vars=tuple(cfg.default_vars),
         single_channel=cfg.single_channel,
