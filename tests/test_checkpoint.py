@@ -261,3 +261,24 @@ def test_head_meta_from_config():
         _Cfg("classification", {"num_heads": 12, "decoder_num_heads": 16})
     ) == (12, 0)
     assert ckpt.head_meta_from_config(_Cfg("unetr", {})) == (12, 0)
+
+
+def test_resolve_slot_empty_filename_picks_newest(tmp_path):
+    """resolve_slot(dir, '') = newest checkpoint in the directory (by stored
+    epoch), or the directory itself if it IS a checkpoint — the default the
+    reference-spelling MAE-transfer alias relies on when the user names a
+    directory but no slot."""
+    path = str(tmp_path)
+    ckpt.save_checkpoint(path, "tiny", epoch=2, state=_state(2), loss_list=[])
+    ckpt.save_checkpoint(path, "tiny", epoch=7, state=_state(7), loss_list=[])
+    got = ckpt.restore_checkpoint(path, "")
+    assert int(got["epoch"]) == 7
+    # a direct checkpoint dir resolves to itself
+    slot = ckpt.resolve_slot(path, "tiny_even")
+    assert ckpt.resolve_slot(slot, "") == slot
+    # an empty dir fails loudly
+    import os as _os, pytest as _pytest
+    empty = _os.path.join(path, "nothing")
+    _os.makedirs(empty)
+    with _pytest.raises(AssertionError, match="no checkpoint slots"):
+        ckpt.resolve_slot(empty, "")

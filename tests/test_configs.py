@@ -70,3 +70,43 @@ def test_dropout_knobs_reach_the_model():
     assert model.pos_drop_rate == 0.07
     assert model.patch_drop_rate == 0.25
     assert model.drop_path_rate == 0.05
+
+
+def test_reference_mae_transfer_keys_alias():
+    """The reference's MAE-transfer spelling (use_pretrained_mae_model +
+    mae_checkpoint_path) must land on trainer.pretrained_mae_checkpoint —
+    a migrated config silently skipping the warm start would train from
+    scratch without any error."""
+    import copy
+    import yaml
+    from ucf_vit_tpu.config import Config
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "basic_ct",
+        "unetr", "base_config.yaml",
+    )
+    with open(path) as f:
+        base = yaml.safe_load(f)
+
+    raw = copy.deepcopy(base)
+    raw["trainer"]["use_pretrained_mae_model"] = True
+    raw["trainer"]["mae_checkpoint_path"] = "/ckpts/mae"
+    cfg = Config(raw=raw, task="unetr")
+    cfg.validate()
+    assert cfg.trainer["pretrained_mae_checkpoint"] == "/ckpts/mae"
+
+    # torch .ckpt filenames must fail loudly with conversion guidance
+    raw = copy.deepcopy(base)
+    raw["trainer"]["use_pretrained_mae_model"] = True
+    raw["trainer"]["mae_checkpoint_path"] = "/ckpts/mae"
+    raw["trainer"]["mae_checkpoint_filename"] = "epoch_350.ckpt"
+    cfg = Config(raw=raw, task="unetr")
+    with pytest.raises(AssertionError, match="convert"):
+        cfg.validate()
+
+    # the new-style key wins; no path at all fails loudly
+    raw = copy.deepcopy(base)
+    raw["trainer"]["use_pretrained_mae_model"] = True
+    cfg = Config(raw=raw, task="unetr")
+    with pytest.raises(AssertionError, match="mae_checkpoint_path"):
+        cfg.validate()

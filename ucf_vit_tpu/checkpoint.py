@@ -144,10 +144,33 @@ def _payload_keys(path: str):
         ckptr.close()
 
 
+def _is_ckpt_dir(p: str) -> bool:
+    return os.path.isdir(p) and os.path.exists(
+        os.path.join(p, "_CHECKPOINT_METADATA")
+    )
+
+
 def resolve_slot(checkpoint_path: str, filename_for_loading: str) -> str:
     """Resolve a checkpoint filename to its on-disk directory. A trailing
     '_latest' picks the even/odd slot with the larger *stored epoch* (mtime
-    only breaks ties — robust to clock skew on shared storage)."""
+    only breaks ties — robust to clock skew on shared storage).
+
+    An EMPTY filename means "whatever is newest here": checkpoint_path
+    itself if it is a checkpoint, else the slot under it with the largest
+    stored epoch — the right default when pointing at a foreign run's
+    directory (e.g. the reference-spelling MAE-transfer alias, where the
+    user names a directory but no slot)."""
+    if not filename_for_loading:
+        base = os.path.abspath(checkpoint_path)
+        if _is_ckpt_dir(base):
+            return base
+        cands = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+        ]
+        cands = [c for c in cands if _is_ckpt_dir(c)]
+        assert cands, f"no checkpoint slots under {checkpoint_path}"
+        return max(cands, key=lambda c: (stored_epoch(c), os.path.getmtime(c)))
     if filename_for_loading.endswith("_latest"):
         stem = filename_for_loading[: -len("_latest")]
         candidates = [

@@ -234,6 +234,33 @@ class Config:
                     f"divisible by seq_par_size (got {dec_heads} heads, "
                     f"tp={tp}, sp={sp})"
                 )
+        # Reference-config compatibility: the reference's MAE-transfer keys
+        # (use_pretrained_mae_model + mae_checkpoint_path [+ filename], read
+        # at `train_unetr_simple.py`/`train_sap_simple.py:308-330`) map onto
+        # trainer.pretrained_mae_checkpoint here. Honor the reference
+        # spelling so a migrated config doesn't silently skip the warm start.
+        tr = self.raw.setdefault("trainer", {})
+        if tr.get("use_pretrained_mae_model") and not tr.get(
+            "pretrained_mae_checkpoint"
+        ):
+            path = str(tr.get("mae_checkpoint_path") or "")
+            assert path, (
+                "trainer.use_pretrained_mae_model is set but neither "
+                "trainer.pretrained_mae_checkpoint nor "
+                "trainer.mae_checkpoint_path is"
+            )
+            fname = str(tr.get("mae_checkpoint_filename") or "")
+            assert not fname.endswith(".ckpt"), (
+                f"trainer.mae_checkpoint_filename ('{fname}') is a torch "
+                "checkpoint; convert it first (tools/convert_checkpoint.py "
+                "to-jax) and point trainer.mae_checkpoint_path at the "
+                "converted directory"
+            )
+            tr["pretrained_mae_checkpoint"] = path
+            # pin the slot too: the alias must not fall through to the
+            # task's own resume slot (checkpoint_filename_for_loading),
+            # which names a slot of a DIFFERENT run. "" = newest in dir.
+            tr.setdefault("pretrained_mae_filename", fname)
 
 
 TASK_ALIASES = {

@@ -425,7 +425,15 @@ def train(
             # `inference_unetr_simple.py:274-327`, `train_sap_simple.py:308-330`)
             payload = ckpt.restore_checkpoint(
                 trainer["pretrained_mae_checkpoint"],
-                trainer.get("checkpoint_filename_for_loading", ""),
+                # slot name: dedicated key, then the reference's spelling,
+                # then the shared resume key ("" resolves _latest)
+                trainer.get(
+                    "pretrained_mae_filename",
+                    trainer.get(
+                        "mae_checkpoint_filename",
+                        trainer.get("checkpoint_filename_for_loading", ""),
+                    ),
+                ),
                 # encoder heads must agree; the MAE decoder is stripped
                 expect_head_meta=(head_meta[0], None),
             )
