@@ -41,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from ucf_vit_tpu.parallel.mesh import logical_constraint
+
 Dtype = jnp.dtype
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
@@ -152,11 +154,19 @@ class MoeMlp(nn.Module):
         )
 
         cdt = self.dtype or x.dtype
-        xe = jnp.einsum("bnec,bnd->ebcd", dispatch.astype(cdt), x.astype(cdt))
-        # dispatched tokens: expert axis on 'ep', batch on the non-ep data
-        # axes — this constraint is what turns the einsums above/below into
-        # the a2a pair over ep
-        xe = nn.with_logical_constraint(xe, ("expert", "expert_batch", None, None))
+        # Dispatch in dot-NATURAL output order (batch dim b leads: becd) and
+        # reshard there — moving the ep mesh axis from b to e on an
+        # untransposed tensor is the canonical all-to-all GSPMD knows how to
+        # lower. Emitting "->ebcd" directly fuses a transpose into the einsum
+        # and the partitioner then gives up with an involuntary full
+        # rematerialization (replicate-then-repartition) — observed in the
+        # round-3 8-device dryrun (MULTICHIP_r03.json); tests/test_spmd_resharding.py
+        # guards the fix.
+        xe = jnp.einsum("bnec,bnd->becd", dispatch.astype(cdt), x.astype(cdt))
+        xe = logical_constraint(xe, ("expert_batch", "expert", None, None))
+        # pure transpose: shardings permute with the dims, no data movement
+        xe = jnp.transpose(xe, (1, 0, 2, 3))
+        xe = logical_constraint(xe, ("expert", "expert_batch", None, None))
         h = jnp.einsum("ebcd,edh->ebch", xe, wi.astype(cdt)) + bi.astype(cdt)[
             :, None, None, :
         ]
@@ -164,8 +174,15 @@ class MoeMlp(nn.Module):
         ye = jnp.einsum("ebch,ehd->ebcd", h, wo.astype(cdt)) + bo.astype(cdt)[
             :, None, None, :
         ]
-        ye = nn.with_logical_constraint(ye, ("expert", "expert_batch", None, None))
-        y = jnp.einsum("ebcd,bnec->bnd", ye, combine.astype(cdt))
+        ye = logical_constraint(ye, ("expert", "expert_batch", None, None))
+        # return trip mirrors the dispatch: transpose back to batch-leading
+        # (local), reshard e->replicated / b->(ddp,ep,fsdp) as the a2a, THEN
+        # the combine einsum runs fully batch-parallel with no hidden reshard
+        yb = jnp.transpose(ye, (1, 0, 2, 3))  # [B,E,C,D]
+        yb = logical_constraint(yb, ("expert_batch", "expert", None, None))
+        yb = logical_constraint(yb, ("batch", None, None, None))
+        y = jnp.einsum("becd,bnec->bnd", yb, combine.astype(cdt))
+        y = logical_constraint(y, ("batch", None, None))
         return y.astype(x.dtype)
 
 

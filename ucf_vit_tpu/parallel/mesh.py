@@ -194,14 +194,61 @@ import contextlib
 import flax.linen as nn
 
 
+import contextvars
+
+# Active mesh for ACTIVATION constraints (parameter partitioning flows
+# through nn.with_partitioning metadata instead). A contextvar rather than
+# jax.sharding.set_mesh: setting the global abstract mesh makes flax unbox
+# raw `Partitioned` params with their LOGICAL axis names as mesh axes, which
+# explodes; and without either, flax's `_with_sharding_constraint` silently
+# NO-OPs every nn.with_logical_constraint (on jax>=0.7 a bare `with mesh:`
+# no longer defines the global mesh flax checks). The round-3 MULTICHIP
+# dryrun's "Involuntary full rematerialization" warnings were the visible
+# symptom of all activation constraints being dropped
+# (tests/test_spmd_resharding.py guards the fix).
+_ACTIVE_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "ucf_vit_tpu_active_mesh", default=None
+)
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH.get()
+
+
+def logical_constraint(x, names):
+    """Sharding constraint by logical axis names — the framework-wide
+    replacement for nn.with_logical_constraint, which requires a *global*
+    mesh to act. No active mesh (single-device oracle mode, or inside a
+    manual shard_map region) -> identity."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    return nn.with_logical_constraint(x, names, mesh=mesh)
+
+
+@contextlib.contextmanager
+def no_activation_constraints():
+    """Suppress logical_constraint inside manual (shard_map) regions, where
+    with_sharding_constraint over already-manual axes is not meaningful."""
+    token = _ACTIVE_MESH.set(None)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
 @contextlib.contextmanager
 def mesh_context(mesh: Mesh):
     """Activate mesh + logical axis rules: inside this context,
-    nn.with_logical_constraint annotations in the models resolve to mesh
+    logical_constraint annotations in the models resolve to mesh
     shardings (outside any mesh they are no-ops, which is what makes the
     same model the 'simple mode' numerics oracle — SURVEY.md §4.5)."""
-    with mesh, nn.logical_axis_rules(LOGICAL_RULES):
-        yield
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        with mesh, nn.logical_axis_rules(LOGICAL_RULES):
+            yield
+    finally:
+        _ACTIVE_MESH.reset(token)
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

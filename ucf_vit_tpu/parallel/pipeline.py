@@ -134,10 +134,12 @@ def pipeline_blocks(
         )
 
     from ucf_vit_tpu.ops.attention import local_attention_only
+    from ucf_vit_tpu.parallel.mesh import no_activation_constraints
 
     # the body is already a manual region: attention inside must use its
-    # direct (per-shard) paths, not its own full-mesh shard_map wrapper
-    with local_attention_only():
+    # direct (per-shard) paths, not its own full-mesh shard_map wrapper,
+    # and activation logical_constraints must not fire over manual axes
+    with local_attention_only(), no_activation_constraints():
         ym = jax.shard_map(
             schedule,
             mesh=mesh,
