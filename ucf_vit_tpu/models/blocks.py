@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ucf_vit_tpu.parallel.mesh import logical_constraint
+
 from ucf_vit_tpu.ops.attention import AttnImpl, multi_head_attention
 
 Dtype = jnp.dtype
@@ -213,16 +215,21 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        q = nn.with_logical_constraint(q, ("batch", "heads", "seq", None))
-        k = nn.with_logical_constraint(k, ("batch", "heads", "seq", None))
-        v = nn.with_logical_constraint(v, ("batch", "heads", "seq", None))
+        q = logical_constraint(q, ("batch", "heads", "seq", None))
+        k = logical_constraint(k, ("batch", "heads", "seq", None))
+        v = logical_constraint(v, ("batch", "heads", "seq", None))
 
+        # Attention-probability dropout (reference `attn_drop`, threaded into
+        # every attention branch at `simple/building_blocks.py:163-187`).
+        # Dropping requires the materialized probability matrix, so the
+        # dispatcher routes AUTO to the EINSUM path and hard-errors on an
+        # explicit FLASH/XLA request — never a silent ignore.
+        drop_rate = 0.0 if deterministic else self.attn_drop
+        drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
         out = multi_head_attention(
             q, k, v, impl=self.attn_impl, sm_scale=head_dim**-0.5,
-            seg_len=self.seg_len,
+            seg_len=self.seg_len, dropout_rate=drop_rate, dropout_rng=drop_rng,
         )
-        # attn_drop would apply to the probability matrix; the fused paths do
-        # not materialize it. All shipped reference configs run attn_drop=0.
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
 
         out = pdense(
@@ -301,7 +308,7 @@ class Block(nn.Module):
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         y = DropPath(self.drop_path, name="drop_path2")(y, deterministic)
         x = x + y
-        x = nn.with_logical_constraint(x, ("batch", "seq", None))
+        x = logical_constraint(x, ("batch", "seq", None))
         return x
 
 

@@ -116,7 +116,8 @@ def _warn_interpret_once() -> None:
 
 
 def einsum_attention(
-    q, k, v, *, sm_scale: float, seg_len: int | None = None
+    q, k, v, *, sm_scale: float, seg_len: int | None = None,
+    dropout_rate: float = 0.0, dropout_rng=None,
 ) -> jnp.ndarray:
     """Reference attention: full score matrix, f32 softmax. [B,H,N,dh].
 
@@ -124,6 +125,11 @@ def einsum_attention(
     attend within their own seg_len-sized segment). Used by MAE sequence
     packing (several samples' kept tokens folded into one sequence) — the
     mask makes the packed result bit-equivalent to per-sample attention.
+
+    dropout_rate/dropout_rng: attention-probability dropout (torch SDPA
+    `dropout_p` semantics — drop post-softmax probabilities with rate p and
+    rescale survivors by 1/(1-p)). Parity: the reference threads `attn_drop`
+    into every attention branch, `simple/building_blocks.py:163-187`.
     """
     s = jnp.einsum("bhqd,bhkd->bhqk", q * sm_scale, k).astype(jnp.float32)
     if seg_len is not None:
@@ -133,6 +139,13 @@ def einsum_attention(
         same = seg_q[:, None] == seg_k[None, :]
         s = jnp.where(same, s, -0.7 * jnp.finfo(jnp.float32).max)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None, (
+            "attention dropout_rate > 0 requires a dropout_rng"
+        )
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, p.shape)
+        p = jnp.where(mask, p / keep, jnp.zeros_like(p))
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
@@ -248,14 +261,33 @@ def multi_head_attention(
     sm_scale: float | None = None,
     interpret: bool = False,
     seg_len: int | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs.
 
     seg_len: block-diagonal segment masking for sequence-packed batches
     (see einsum_attention). Supported on the EINSUM and XLA paths; packed
     sequences are short by construction, so AUTO lands on EINSUM.
+
+    dropout_rate: attention-probability dropout (reference `attn_drop`,
+    `simple/building_blocks.py:163-187`). Only the EINSUM path materializes
+    the probability matrix, so AUTO routes to EINSUM when dropping; an
+    explicit FLASH/XLA request with dropout_rate > 0 is a hard error rather
+    than a silent no-op.
     """
-    impl = resolve_impl(impl, n_kv=k.shape[2])
+    resolved = resolve_impl(impl, n_kv=k.shape[2])
+    if dropout_rate > 0.0:
+        explicit = AttnImpl.from_string(impl) if isinstance(impl, str) else impl
+        if explicit in (AttnImpl.FLASH, AttnImpl.XLA):
+            raise ValueError(
+                f"attn_drop={dropout_rate} requires the EINSUM attention path "
+                f"(the probability matrix must be materialized to drop it); "
+                f"got explicit attn_impl={explicit.value}. Use attn_impl: AUTO "
+                f"or EINSUM, or set attn_drop_rate: 0."
+            )
+        resolved = AttnImpl.EINSUM
+    impl = resolved
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     # Pallas TPU kernels only compile on TPU; on other backends run them in
@@ -302,4 +334,7 @@ def multi_head_attention(
             mask=mask,
         )
         return out.transpose(0, 2, 1, 3)
-    return einsum_attention(q, k, v, sm_scale=sm_scale, seg_len=seg_len)
+    return einsum_attention(
+        q, k, v, sm_scale=sm_scale, seg_len=seg_len,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    )
