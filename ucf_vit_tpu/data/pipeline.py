@@ -52,17 +52,22 @@ def read_imagenet_file(path: str, resize=(256, 256), return_label=False):
     return data, label
 
 
+def _load_nifti(path: str) -> np.ndarray:
+    """One NIfTI volume as a numpy array: nibabel when importable, else the
+    first-party NIfTI-1 reader (data/nifti.py) — same array either way."""
+    try:
+        import nibabel as nib
+    except ImportError:
+        from ucf_vit_tpu.data import nifti
+
+        return nifti.load(path)
+    return np.array(nib.load(path).dataobj)
+
+
 def read_nifti_file(path: str, num_channels: int = 1, return_label=False):
     """NIfTI volume, min-max normalized -> [C, ...] f32 (+ label volume from
     the sibling labelsTr dir, shifted to 0-based). Parity: `dataset.py:72-96`."""
-    try:
-        import nibabel as nib
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "nibabel is required for basic_ct data; install it or use .npy volumes"
-        ) from e
-
-    data = np.array(nib.load(path).dataobj).astype(np.float32)
+    data = _load_nifti(path).astype(np.float32)
     data = (data - data.min()) / (data.max() - data.min())
     if num_channels == 1:
         data = np.expand_dims(data, axis=0)
@@ -71,7 +76,7 @@ def read_nifti_file(path: str, num_channels: int = 1, return_label=False):
     p = Path(path)
     stem = p.stem.split("image")[-1]
     label_path = os.path.join(p.parent.parent, "labelsTr", "label" + stem + ".nii")
-    label = np.array(nib.load(label_path).dataobj).astype(np.int64) - 1
+    label = _load_nifti(label_path).astype(np.int64) - 1
     return data, label
 
 
