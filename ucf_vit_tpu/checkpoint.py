@@ -182,7 +182,35 @@ def resolve_slot(checkpoint_path: str, filename_for_loading: str) -> str:
         filename_for_loading = os.path.basename(
             max(candidates, key=lambda c: (stored_epoch(c), os.path.getmtime(c)))
         )
-    return os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+    resolved = os.path.abspath(os.path.join(checkpoint_path, filename_for_loading))
+    if not _is_ckpt_dir(resolved):
+        # Catch torch-reference checkpoints BEFORE Orbax fails opaquely. The
+        # reference scripts append '.ckpt' themselves
+        # (`train_unetr_simple.py:327`), so migrated configs carry
+        # extension-less names like 'epoch_350' — the suffix check in
+        # config.py cannot see those; the on-disk shape can.
+        torch_file = next(
+            (
+                p
+                for p in (resolved, resolved + ".ckpt")
+                if os.path.isfile(p)
+            ),
+            None,
+        )
+        if torch_file is not None:
+            raise ValueError(
+                f"{torch_file} is a file, not an Orbax checkpoint directory — "
+                "it looks like a torch reference checkpoint. Convert it first:"
+                f"\n  python -m ucf_vit_tpu.tools.convert_checkpoint to-jax "
+                f"{torch_file} <out_dir>\nand point the config at <out_dir> "
+                "(see docs/MIGRATION.md)."
+            )
+        raise FileNotFoundError(
+            f"no checkpoint at {resolved} (missing _CHECKPOINT_METADATA). "
+            f"Slots present under {checkpoint_path}: "
+            f"{[d for d in os.listdir(checkpoint_path)] if os.path.isdir(checkpoint_path) else 'none (path missing)'}"
+        )
+    return resolved
 
 
 def state_has_key(checkpoint_path: str, filename_for_loading: str, key: str) -> bool:

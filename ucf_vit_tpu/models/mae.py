@@ -93,6 +93,15 @@ class MAE(VIT):
                 f"({SHORT_SEQ_THRESHOLD}); packing only pays when the kept "
                 f"sequence is short — lower seq_pack"
             )
+            assert self.patch_drop_rate == 0.0, (
+                "seq_pack > 1 with patch_drop_rate > 0 is unsupported: "
+                "patch_drop shrinks each sample's kept tokens below len_keep "
+                "while the block-diagonal segment mask still partitions the "
+                "packed sequence at len_keep boundaries, so tokens from "
+                "different samples would silently attend to each other. Use "
+                "seq_pack=1 or patch_drop_rate=0 (mask_ratio already "
+                "subsamples the sequence in MAE)."
+            )
         super().setup()
 
         mask_dim = self.embed_dim if self.linear_decoder else self.decoder_embed_dim

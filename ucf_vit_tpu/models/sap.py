@@ -33,6 +33,12 @@ class SAP(VIT):
 
     def setup(self):
         assert not self.class_token, "SAP runs with class_token=False"
+        assert self.patch_drop_rate == 0.0, (
+            "SAP consumes the full spatial token grid (intermediates are "
+            "reshaped to the grid), so patch_drop_rate > 0 would crash with "
+            "a bare reshape error at train time — set patch_drop_rate: 0 "
+            "(the reference shares this constraint, simple/arch.py:1059)"
+        )
         super().setup()
         self.neck = transp_conv(
             NECK_CHANNELS, self.patch_size, self.ndim, bias=False, name="neck"

@@ -59,6 +59,12 @@ class UNETR(VIT):
 
     def setup(self):
         assert not self.class_token, "UNETR runs with class_token=False"
+        assert self.patch_drop_rate == 0.0, (
+            "UNETR consumes the full spatial token grid (intermediates are "
+            "reshaped to the grid), so patch_drop_rate > 0 would crash with "
+            "a bare reshape error at train time — set patch_drop_rate: 0 "
+            "(the reference shares this constraint, simple/arch.py:1059)"
+        )
         if self.adaptive_patching:
             assert self.sqrt_len_method, (
                 "adaptive UNETR uses the sqrt-len method (reference "

@@ -426,13 +426,14 @@ def train(
             payload = ckpt.restore_checkpoint(
                 trainer["pretrained_mae_checkpoint"],
                 # slot name: dedicated key, then the reference's spelling,
-                # then the shared resume key ("" resolves _latest)
+                # then "" = the newest checkpoint dir under the path. NOT
+                # checkpoint_filename_for_loading: that names a slot of THIS
+                # task's own run, while the MAE checkpoint lives in a
+                # different run's directory (the pitfall config.py's alias
+                # comment calls out).
                 trainer.get(
                     "pretrained_mae_filename",
-                    trainer.get(
-                        "mae_checkpoint_filename",
-                        trainer.get("checkpoint_filename_for_loading", ""),
-                    ),
+                    trainer.get("mae_checkpoint_filename", ""),
                 ),
                 # encoder heads must agree; the MAE decoder is stripped
                 expect_head_meta=(head_meta[0], None),
