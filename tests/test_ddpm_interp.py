@@ -57,3 +57,28 @@ def test_interpolate_channel_embed_truncates():
     np.testing.assert_array_equal(out, ce[:, :2])
     # longer target: unchanged (reference only truncates)
     np.testing.assert_array_equal(interpolate_channel_embed(ce, 9), ce)
+
+
+def test_interpolate_pos_embed_2d_matches_torch_bicubic():
+    """Exact parity with the reference's interpolation op:
+    torch F.interpolate(mode='bicubic', align_corners=False)
+    (`/root/reference/src/UCF_VIT/utils/pos_embed.py:110-134`) — VERDICT r3
+    item 7 (previously bilinear with an untested 'a wash' claim)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    for (oh, ratio), new in [((4, 2), (7, 14)), ((8, 1), (5, 5)), ((3, 2), (12, 24))]:
+        ow = ratio * oh
+        pe = rng.normal(size=(1, oh * ow, 16)).astype(np.float32)
+        got = interpolate_pos_embed_2d(pe, new, w_h_ratio=ratio)
+        t = torch.from_numpy(pe.reshape(1, oh, ow, 16)).permute(0, 3, 1, 2)
+        want = (
+            torch.nn.functional.interpolate(
+                t, size=new, mode="bicubic", align_corners=False
+            )
+            .permute(0, 2, 3, 1)
+            .reshape(1, new[0] * new[1], 16)
+            .numpy()
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

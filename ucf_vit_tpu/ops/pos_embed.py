@@ -87,38 +87,57 @@ def sinusoidal_time_embedding_table(time_steps: int, embed_dim: int) -> np.ndarr
     return table
 
 
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution weights for the 4 taps around fractional offset t
+    (Keys kernel with A=-0.75 — torch/OpenCV bicubic). [N] -> [N, 4]."""
+    # tap distances: |x| = 1+t, t, 1-t, 2-t  (taps at floor-1 .. floor+2)
+    d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+
+    def near(x):  # |x| <= 1
+        return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+
+    def far(x):  # 1 < |x| < 2
+        return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+
+    return np.stack([far(d0), near(d1), near(d2), far(d3)], axis=-1)
+
+
+def _axis_resample_bicubic(arr: np.ndarray, axis: int, new_len: int) -> np.ndarray:
+    """Separable 1-axis pass of torch F.interpolate(mode='bicubic',
+    align_corners=False): half-pixel centers, edge-replicated taps."""
+    old_len = arr.shape[axis]
+    scale = old_len / new_len
+    coords = (np.arange(new_len, dtype=np.float64) + 0.5) * scale - 0.5
+    base = np.floor(coords).astype(np.int64)
+    t = coords - base
+    w = _cubic_weights(t)  # [new_len, 4]
+    out = None
+    for tap in range(4):
+        idx = np.clip(base - 1 + tap, 0, old_len - 1)
+        shape = [1] * arr.ndim
+        shape[axis] = new_len
+        piece = np.take(arr, idx, axis=axis) * w[:, tap].reshape(shape)
+        out = piece if out is None else out + piece
+    return out
+
+
 def interpolate_pos_embed_2d(
     pos_embed: np.ndarray, new_grid: tuple, w_h_ratio: int = 2
 ) -> np.ndarray:
-    """Bicubic-style 2D resampling of a [1, H*W, D] pos-embed table to a new
-    grid (reference `utils/pos_embed.py:108-131`, DeiT-style; the reference
-    assumes W = w_h_ratio * H). Bilinear here (align_corners=False) — the
-    table is learned, interpolation order is a wash."""
+    """Bicubic 2D resampling of a [1, H*W, D] pos-embed table to a new grid —
+    exact torch F.interpolate(mode='bicubic', align_corners=False) semantics,
+    matching the reference (`utils/pos_embed.py:108-131`, DeiT-style; the
+    reference assumes W = w_h_ratio * H). Parity pinned against the live
+    torch op in tests/test_ddpm_interp.py."""
     _, orig_num, dim = pos_embed.shape
     orig_h = int((orig_num // w_h_ratio) ** 0.5)
     orig_w = w_h_ratio * orig_h
     new_h, new_w = new_grid
     if (orig_h, orig_w) == (new_h, new_w):
         return pos_embed
-    grid = pos_embed.reshape(orig_h, orig_w, dim)
-
-    def axis_resample(arr, axis, new_len):
-        old_len = arr.shape[axis]
-        scale = old_len / new_len
-        coords = (np.arange(new_len) + 0.5) * scale - 0.5
-        coords = np.clip(coords, 0, old_len - 1)
-        lo = np.floor(coords).astype(np.int64)
-        hi = np.minimum(lo + 1, old_len - 1)
-        frac = coords - lo
-        a = np.take(arr, lo, axis=axis)
-        b = np.take(arr, hi, axis=axis)
-        shape = [1] * arr.ndim
-        shape[axis] = new_len
-        f = frac.reshape(shape)
-        return a * (1 - f) + b * f
-
-    grid = axis_resample(grid, 0, new_h)
-    grid = axis_resample(grid, 1, new_w)
+    grid = pos_embed.reshape(orig_h, orig_w, dim).astype(np.float64)
+    grid = _axis_resample_bicubic(grid, 0, new_h)
+    grid = _axis_resample_bicubic(grid, 1, new_w)
     return grid.reshape(1, new_h * new_w, dim).astype(pos_embed.dtype)
 
 
