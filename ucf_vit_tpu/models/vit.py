@@ -60,8 +60,8 @@ class _ScanBlockBody(nn.Module):
 
 def run_pipelined_stack(
     scan_module, block_kwargs: dict, pipe_par_size: int,
-    pipe_microbatches: int, x: jnp.ndarray,
-) -> jnp.ndarray:
+    pipe_microbatches: int, x: jnp.ndarray, take_indices: tuple = (),
+):
     """GPipe a scan-stacked Block sequence over the mesh 'pp' axis
     (parallel/pipeline.py) — shared by the encoder and the MAE/diffusion
     decoder stacks. The stacked params are read off the BOUND nn.scan
@@ -86,6 +86,7 @@ def run_pipelined_stack(
         mesh=_active_mesh(),
         pp_size=pipe_par_size,
         num_microbatches=pipe_microbatches,
+        take_indices=take_indices,
     )
 
 
@@ -572,13 +573,14 @@ class VIT(nn.Module):
             x = blk(x, deterministic)
         return x
 
-    def _run_blocks_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _run_blocks_pipelined(self, x: jnp.ndarray, take_indices: tuple = ()):
         return run_pipelined_stack(
             self.blocks_scan,
             self._pipe_block_kwargs,
             self.pipe_par_size,
             self.pipe_microbatches,
             x,
+            take_indices=take_indices,
         )
 
     def forward_features(
@@ -608,13 +610,18 @@ class VIT(nn.Module):
         parity with reference `simple/arch.py:995-1086`.
         """
         take = list(indices or [])
-        assert self.pipe_par_size == 1, (
-            "forward_intermediates (UNETR skip connections) is not supported "
-            "with pipe_par_size > 1 — intermediates live on different stages"
-        )
         x = self.embed_tokens(x, var_ids, deterministic)
         x = self.apply_pos_embed(x, seq_ps, deterministic)
         x = self.patch_drop(x, deterministic)
+        if self.pipe_par_size > 1 and not self.is_initializing():
+            # GPipe with skip taps: each intermediate's owning stage writes
+            # it into the tap buffer the schedule psums out at the end
+            # (parallel/pipeline.py take_indices)
+            y, taps = self._run_blocks_pipelined(x, take_indices=tuple(take))
+            intermediates = [
+                taps[i][:, self.num_prefix_tokens :] for i in range(len(take))
+            ]
+            return self.norm(y), intermediates
         if self.scan_layers:
             x, ys = self.blocks_scan(x, deterministic)  # ys: [depth, B, L, D]
             intermediates = [ys[i][:, self.num_prefix_tokens :] for i in take]

@@ -67,6 +67,7 @@ def pipeline_blocks(
     pp_size: int,
     num_microbatches: int = 0,
     axis: str = AXIS_PP,
+    take_indices: tuple = (),
 ):
     """Run a stacked layer sequence as a GPipe pipeline over `axis`.
 
@@ -74,6 +75,13 @@ def pipeline_blocks(
     stacked_params: pytree whose leaves have leading axis `depth`
         (depth % pp_size == 0); sharded (or shardable) over `axis` on dim 0.
     x: [B, ...] activations, replicated over `axis` (other mesh axes free).
+
+    take_indices: global block indices whose OUTPUTS are additionally
+    returned (UNETR skip connections, `simple/arch.py:995-1086`). Each tap
+    is written by its owning stage into a zero-initialized [M, K, ...]
+    buffer and delivered by the same end-of-schedule psum that publishes
+    the last stage's outputs — no extra ppermute traffic, K x microbatch
+    activation memory. Returns (y, taps [K, B, ...]) when non-empty.
     """
     assert mesh is not None and axis in mesh.axis_names, (
         f"pipe_par_size > 1 needs a mesh with a '{axis}' axis — build it via "
@@ -90,6 +98,11 @@ def pipeline_blocks(
     b = x.shape[0]
     m = pick_microbatches(b, pp_size, num_microbatches)
     s = pp_size
+    l_local = depth // s
+    k_taps = len(take_indices)
+    assert all(0 <= i < depth for i in take_indices), (
+        f"take_indices {take_indices} out of range for depth {depth}"
+    )
     xm = x.reshape((m, b // m) + x.shape[1:])
 
     def schedule(local_params, xm):
@@ -98,10 +111,11 @@ def pipeline_blocks(
 
         def stage_apply(xi):
             def body(c, p):
-                return apply_layer(p, c), None
+                c = apply_layer(p, c)
+                return c, c
 
-            c, _ = lax.scan(body, xi, local_params)
-            return c
+            c, ys = lax.scan(body, xi, local_params)
+            return c, ys  # ys: per-layer outputs [l_local, ...]
 
         # carries start stage-invariant (zeros) but become stage-varying:
         # declare that to jax's varying-mesh-axes tracking up front
@@ -109,29 +123,47 @@ def pipeline_blocks(
         carry = lax.pcast(
             jnp.zeros(xm.shape[1:], xm.dtype), (axis,), to="varying"
         )
+        taps_buf = lax.pcast(
+            jnp.zeros((m, k_taps) + xm.shape[1:], xm.dtype), (axis,),
+            to="varying",
+        )
 
         def tick(state, t):
-            carry, buf = state
+            carry, buf, taps_buf = state
             mb = t - stage  # microbatch this stage works on (may be bubble)
             inp0 = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
             x_in = jnp.where(stage == 0, inp0, carry)
-            y = jax.checkpoint(stage_apply)(x_in)
+            y, ys = jax.checkpoint(stage_apply)(x_in)
             nxt = lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)])
-            valid = (mb >= 0) & (mb < m) & (stage == s - 1)
+            in_flight = (mb >= 0) & (mb < m)
+            valid = in_flight & (stage == s - 1)
             wi = jnp.clip(mb, 0, m - 1)
             cur = lax.dynamic_index_in_dim(buf, wi, 0, keepdims=False)
             buf = lax.dynamic_update_index_in_dim(
                 buf, jnp.where(valid, y, cur), wi, 0
             )
-            return (carry if s == 1 else nxt, buf), None
+            for kk, gidx in enumerate(take_indices):
+                # the stage owning global block gidx writes its output for
+                # this microbatch; every other stage's slot stays zero
+                s_k, j_k = divmod(gidx, l_local)
+                ok = in_flight & (stage == s_k)
+                cur_t = taps_buf[wi, kk]
+                taps_buf = taps_buf.at[wi, kk].set(
+                    jnp.where(ok, ys[j_k], cur_t)
+                )
+            return (carry if s == 1 else nxt, buf, taps_buf), None
 
-        (carry, buf), _ = lax.scan(tick, (carry, buf), jnp.arange(ticks))
-        # only the last stage holds real outputs; make them stage-replicated
-        return lax.psum(
+        (carry, buf, taps_buf), _ = lax.scan(
+            tick, (carry, buf, taps_buf), jnp.arange(ticks)
+        )
+        # only the last stage holds real outputs; make them stage-replicated.
+        # taps_buf needs no mask: non-owning stages never wrote their slots.
+        out = lax.psum(
             jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)), axis
         )
+        return out, lax.psum(taps_buf, axis)
 
     from ucf_vit_tpu.ops.attention import local_attention_only
     from ucf_vit_tpu.parallel.mesh import no_activation_constraints
@@ -140,11 +172,16 @@ def pipeline_blocks(
     # direct (per-shard) paths, not its own full-mesh shard_map wrapper,
     # and activation logical_constraints must not fire over manual axes
     with local_attention_only(), no_activation_constraints():
-        ym = jax.shard_map(
+        ym, taps = jax.shard_map(
             schedule,
             mesh=mesh,
             in_specs=(P(axis), P()),
-            out_specs=P(),
+            out_specs=(P(), P()),
             axis_names={axis},
         )(stacked_params, xm)
-    return ym.reshape(x.shape)
+    y = ym.reshape(x.shape)
+    if not k_taps:
+        return y
+    # [m, K, b/m, ...] -> [K, b, ...]
+    taps = jnp.moveaxis(taps, 1, 0).reshape((k_taps, b) + x.shape[1:])
+    return y, taps
