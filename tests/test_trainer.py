@@ -346,3 +346,36 @@ def test_tensorboard_dir_writes_events(tmp_path):
     events = glob.glob(os.path.join(tb, "events.out.tfevents.*"))
     assert events, f"no event files in {tb}"
     assert os.path.getsize(events[0]) > 0
+
+
+def test_validation_catsdogs_heldout(tmp_path):
+    """trainer.val_every on the catsdogs map-style path (VERDICT r3 #8): the
+    val loader reads the held-out file fraction and logs val_loss /
+    val_accuracy per epoch — previously an AssertionError on the one dataset
+    everyone smoke-tests with."""
+    import json
+
+    import numpy as np
+
+    from tests.test_learning import _catsdogs_yaml, _make_catsdogs_jpegs
+
+    data_root = str(tmp_path / "catsdogs")
+    _make_catsdogs_jpegs(data_root, n_per_class=24, seed=1)
+    raw = _catsdogs_yaml(data_root, str(tmp_path / "ck"))
+    raw["trainer"].update({
+        "max_epochs": 2, "val_every": 1, "val_batches": 2,
+        "metrics_path": str(tmp_path / "m.jsonl"),
+    })
+    raw["data"]["batch_size"] = 4
+    raw["data"]["dict_end_idx"] = {"catsdogs": 0.75}
+    raw["data"]["val_dict_start_idx"] = {"catsdogs": 0.75}
+    raw["data"]["val_dict_end_idx"] = {"catsdogs": 1.0}
+    cfg = Config(raw=raw, task="classification")
+    out = train(cfg)
+    assert all(np.isfinite(v) for v in out["loss_list"])
+    recs = [json.loads(l) for l in open(raw["trainer"]["metrics_path"])]
+    vals = [r for r in recs if "val_loss" in r]
+    assert len(vals) == 2
+    assert all(np.isfinite(v["val_loss"]) for v in vals)
+    assert all(v["val_batches"] == 2 for v in vals)
+    assert all("val_accuracy" in v for v in vals)

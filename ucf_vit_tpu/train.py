@@ -111,10 +111,6 @@ def build_dataloader(
                                        seed=12345 if val_split else 0), None
 
     if val_split:
-        assert cfg.dataset != "catsdogs", (
-            "trainer.val_every is not supported for the catsdogs map-style "
-            "path; evaluate with the inference CLI instead"
-        )
         assert ("val_dict_start_idx" in cfg.data
                 and "val_dict_end_idx" in cfg.data), (
             "trainer.val_every needs data.val_dict_start_idx / "
@@ -138,6 +134,16 @@ def build_dataloader(
         files = sorted(
             glob.glob(os.path.join(cfg.data["dict_root_dirs"][key], "*.jpg"))
         )
+        # honor the same fraction keys as the iterable pipeline (the
+        # val_split branch above already rewrote them to the val range), so
+        # trainer.val_every works on the catsdogs smoke path too
+        s = float(cfg.data.get("dict_start_idx", {}).get(key, 0.0))
+        e = float(cfg.data.get("dict_end_idx", {}).get(key, 1.0))
+        files = files[int(s * len(files)) : int(e * len(files))]
+        assert files, (
+            f"catsdogs file range [{s}, {e}) of "
+            f"{cfg.data['dict_root_dirs'][key]} is empty"
+        )
         nd = 2 if cfg.twoD else 3
         ds = CatsDogsDataset(
             files,
@@ -156,21 +162,33 @@ def build_dataloader(
             def train_dataloader(self, loop: bool = False,
                                  skip_batches: int = 0):
                 # map-style loader: an epoch ends when the (sharded, shuffled)
-                # index list is exhausted — `loop` is accepted for interface
-                # parity with DataModule but a finite epoch is the correct
-                # semantics here (torch DistributedSampler behaves the same).
+                # index list is exhausted — finite is the correct training
+                # semantics (torch DistributedSampler behaves the same).
+                # loop=True (the persistent validation iterator) chains
+                # epochs forever so successive passes keep walking the split.
                 # skip_batches (mid-epoch resume): the shuffled index list is
                 # a pure function of self._epoch, so slicing it fast-forwards
                 # exactly (decode cost for skipped files is never paid)
-                del loop
-                return catsdogs_loader(
-                    ds,
-                    global_batch,
-                    shard_rank=jax.process_index(),
-                    num_shards=jax.process_count(),
-                    seed=self._epoch,
-                    skip_batches=skip_batches,
-                )
+                def one_epoch(seed, skip):
+                    return catsdogs_loader(
+                        ds,
+                        global_batch,
+                        shard_rank=jax.process_index(),
+                        num_shards=jax.process_count(),
+                        seed=seed,
+                        skip_batches=skip,
+                    )
+
+                if not loop:
+                    return one_epoch(self._epoch, skip_batches)
+
+                def chain():
+                    seed, skip = self._epoch, skip_batches
+                    while True:
+                        yield from one_epoch(seed, skip)
+                        seed, skip = seed + 1, 0
+
+                return chain()
 
             def reset(self):
                 self._epoch += 1
@@ -701,15 +719,29 @@ def train(
         tb_writer = None
         if trainer.get("tensorboard_dir") and jax.process_index() == 0:
             # TensorBoard scalars next to the JSONL (trainer.metrics_path):
-            # the standard dashboard surface, written via torch's event
-            # writer (no TF dependency). Optional — JSONL stays the source
-            # of truth for tools/metrics_summary.py.
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            # the standard dashboard surface. tensorboardX first (a few-MB
+            # dependency appropriate for a JAX framework), torch's writer as
+            # the fallback where only torch is around. Optional — JSONL stays
+            # the source of truth for tools/metrics_summary.py.
+            tb_writer = None
+            for mod in ("tensorboardX", "torch.utils.tensorboard"):
+                try:
+                    import importlib
 
-                tb_writer = SummaryWriter(trainer["tensorboard_dir"])
-            except Exception as e:  # torch absent/broken: log and continue
-                print(f"tensorboard_dir ignored ({e})", flush=True)
+                    tb_writer = importlib.import_module(mod).SummaryWriter(
+                        trainer["tensorboard_dir"]
+                    )
+                    break
+                except Exception:
+                    continue
+            if tb_writer is None:
+                print(
+                    "tensorboard_dir ignored: neither tensorboardX nor "
+                    "torch.utils.tensorboard is importable — "
+                    "`pip install tensorboardX` to enable scalar logging "
+                    "(per-step JSONL metrics are still written)",
+                    flush=True,
+                )
         total_steps = resume_total_steps
         rng = jax.random.key(int(trainer.get("seed", 0)))
         if resume_rng_data is not None:
