@@ -58,6 +58,32 @@ x8 = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3, 32, 32)), jnp.float
 # batch 4 on a ddp=4 mesh: the round-3 failing pp shape (microbatch reshape)
 x4 = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3, 32, 32)), jnp.float32)
 
+# ---- flagship mesh ddp=1 x fsdp=2 x sp=2 x tp=2 ----------------------------
+main_mesh = make_mesh(
+    simple_ddp_size=1, fsdp_size=2, seq_par_size=2, tensor_par_size=2
+)
+
+
+def main_loss_fn(params, batch_d, rng):
+    pred, mask = model.apply({"params": params}, batch_d["x"], rngs={"mask": rng})
+    return masked_mse(pred, patchify(batch_d["x"], 8, True), mask)
+
+
+with mesh_context(main_mesh):
+    def main_init_fn():
+        return model.init(
+            {"params": jax.random.key(0), "mask": jax.random.key(1)}, x8
+        )
+
+    shapes = jax.eval_shape(main_init_fn)["params"]
+    tx = configure_optimizer(shapes, lr=1e-3, warmup_steps=2, max_steps=10)
+    state, _ = create_sharded_train_state(main_init_fn, tx, main_mesh)
+    sbatch = shard_batch(main_mesh, {"x": x8})
+    step = make_train_step(main_loss_fn, tx)
+    state, loss, _ = step(state, sbatch, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    print("main loss:", float(loss), flush=True)
+
 # ---- ep=2 MoE --------------------------------------------------------------
 ep_mesh = make_mesh(simple_ddp_size=4, expert_par_size=2)
 ep_model = model.clone(moe_num_experts=4, moe_top_k=2, moe_every=2)
