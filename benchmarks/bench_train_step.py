@@ -26,7 +26,8 @@ STEPS = 10
 WARMUP = 2
 
 
-def bench_batch(cfg_path: str, batch: int, remat: bool = False) -> dict:
+def bench_batch(cfg_path: str, batch: int, remat: bool = False,
+                bf16: bool = False) -> dict:
     from ucf_vit_tpu.config import load_config
     from ucf_vit_tpu.parallel.train_step import (
         TrainState,
@@ -44,6 +45,13 @@ def bench_batch(cfg_path: str, batch: int, remat: bool = False) -> dict:
     cfg.raw["data"]["batch_size"] = batch
     if remat:
         cfg.raw["trainer"]["remat"] = True
+    if bf16:
+        # The shipped basic_ct/diffusion configs keep the reference's
+        # simple-mode float32 (its simple scripts assert f32 because that
+        # mode has no MixedPrecision wiring — a limitation, not a workload
+        # requirement). This framework's dtype policy works for every task;
+        # --bf16 measures the capability row.
+        cfg.raw["trainer"]["data_type"] = "bfloat16"
     model, loss_fn = build_task(cfg)
     b = next(synthetic_batches(cfg, batch))
     arrays = {k: jnp.asarray(v) for k, v in b.items() if isinstance(v, np.ndarray)}
@@ -59,6 +67,21 @@ def bench_batch(cfg_path: str, batch: int, remat: bool = False) -> dict:
     step = make_train_step(lambda p, bb, r: loss_fn(p, bb, r, var_ids=None),
                            tx, donate=False)
 
+    # Executed-FLOP count straight from XLA's cost analysis of the compiled
+    # step (VERDICT r3 #6: every benchmark row needs an MFU denominator).
+    # Unlike the hand-counted matmul formulas in bench.py/bench_mae.py this
+    # covers convs (UNETR/SAP decoders) and every fused op; with --remat the
+    # recomputed FLOPs ARE counted, so remat rows report hardware FLOP
+    # utilization rather than the stricter model-FLOP convention.
+    step_flops = step_bytes = None
+    try:
+        ca = step.lower(state, arrays, jax.random.key(0)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0)) or None
+        step_bytes = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+
     for i in range(WARMUP):
         state, loss, _ = step(state, arrays, jax.random.key(i))
     float(loss)
@@ -67,12 +90,28 @@ def bench_batch(cfg_path: str, batch: int, remat: bool = False) -> dict:
         state, loss, _ = step(state, arrays, jax.random.key(i))
     float(loss)
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "batch": batch,
         "ms_per_step": round(dt / STEPS * 1e3, 2),
         "samples_per_s": round(batch * STEPS / dt, 2),
         "params_m": round(n_params / 1e6, 1),
     }
+    if step_flops:
+        from bench import peak_flops
+
+        mfu = step_flops * STEPS / dt / peak_flops(jax.devices()[0])
+        out["tflops_per_step"] = round(step_flops / 1e12, 3)
+        out["self_mfu"] = round(mfu, 4)
+    if step_bytes:
+        # XLA cost-model bytes are PRE-fusion (every op's operands+outputs),
+        # so this over-counts real HBM traffic — util > 1 just means fusion
+        # keeps much of it on-chip. It is still the right scale check for
+        # conv-decoder workloads (UNETR) whose low self-MFU comes from being
+        # bandwidth-bound, not MXU-bound. v5e HBM peak: 819 GB/s.
+        bw = step_bytes * STEPS / dt
+        out["cost_gbytes_per_step"] = round(step_bytes / 1e9, 2)
+        out["cost_bytes_over_hbm_peak"] = round(bw / 819e9, 4)
+    return out
 
 
 def main():
@@ -80,17 +119,21 @@ def main():
     assert argv, "usage: bench_train_step.py <config.yaml> [--remat] [bs ...]"
     cfg_path = argv[0]
     remat = "--remat" in argv
-    batches = [int(a) for a in argv[1:] if a != "--remat"] or [2, 4, 8]
+    bf16 = "--bf16" in argv
+    batches = [
+        int(a) for a in argv[1:] if a not in ("--remat", "--bf16")
+    ] or [2, 4, 8]
     name = cfg_path.rstrip("/").split("configs/")[-1].replace(
         "/", "_").removesuffix(".yaml").removesuffix("_base_config")
     rows = []
     for bs in batches:
         try:
-            r = bench_batch(cfg_path, bs, remat=remat)
+            r = bench_batch(cfg_path, bs, remat=remat, bf16=bf16)
         except Exception as e:  # OOM at the top of a sweep is a result
             print(json.dumps({"batch": bs, "error": str(e)[:200]}), flush=True)
             continue
         r["remat"] = remat
+        r["dtype"] = "bf16" if bf16 else "config"
         rows.append(r)
         print(json.dumps(r), flush=True)
     assert rows, "every batch size failed"
