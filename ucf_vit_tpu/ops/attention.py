@@ -150,7 +150,16 @@ def einsum_attention(
 
 
 def _active_mesh():
-    """The Mesh whose `with mesh:` context we are tracing under, or None."""
+    """The Mesh we are tracing under, or None. Primary source: the
+    framework's own mesh_context contextvar (parallel/mesh.py) — the same
+    switch that arms activation logical_constraints; the legacy
+    thread_resources probe remains as a fallback for code running under a
+    bare `with mesh:`."""
+    from ucf_vit_tpu.parallel.mesh import active_mesh
+
+    m = active_mesh()
+    if m is not None:
+        return m
     try:
         from jax._src import mesh as mesh_lib
 
