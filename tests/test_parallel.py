@@ -254,3 +254,31 @@ def test_make_mesh_single_slice_uses_all_axes():
         "pp": 1, "ddp": 2, "ep": 1, "fsdp": 2, "sp": 1, "tp": 2
     }
     assert len({d.id for d in m.devices.flat}) == 8
+
+
+def test_logical_constraint_actually_lowers():
+    """Canary for the round-4 root cause: flax's with_logical_constraint
+    silently NO-OPs when no global abstract mesh is defined, which made
+    every activation constraint in the framework a dead annotation for
+    three rounds. parallel.mesh.logical_constraint must emit a real
+    sharding op in the lowered module whenever mesh_context is active —
+    if a jax/flax upgrade breaks that contract again, this fails loudly."""
+    import jax.numpy as jnp
+
+    from ucf_vit_tpu.parallel.mesh import logical_constraint, make_mesh, mesh_context
+
+    mesh = make_mesh(simple_ddp_size=4, tensor_par_size=2)
+
+    def f(x):
+        return logical_constraint(x, ("batch", "heads", None)) * 2.0
+
+    x = jnp.zeros((8, 4, 16))
+    with mesh_context(mesh):
+        txt = jax.jit(f).lower(x).as_text()
+    assert ("sharding_constraint" in txt) or ("sdy.sharding" in txt), (
+        "logical_constraint lowered to NOTHING — activation sharding "
+        "annotations are being silently dropped again"
+    )
+    # outside any mesh: must be a clean no-op (oracle mode)
+    txt_plain = jax.jit(f).lower(x).as_text()
+    assert "sharding_constraint" not in txt_plain
