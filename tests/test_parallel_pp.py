@@ -363,3 +363,52 @@ def test_pp_unetr_skip_connections():
         assert float(jnp.max(jnp.abs(a - b))) <= 2e-5 * max(gmax, 1.0), (
             k, float(jnp.max(jnp.abs(a - b))), gmax,
         )
+
+
+def test_pp_moe_matches_scan():
+    """MoE blocks inside the GPipe schedule (round 4; previously asserted
+    off): expert einsums stay GSPMD-auto over ep inside the manual-over-pp
+    region (bare-PartitionSpec constraints), and the sow'd load-balance aux
+    rides the schedule as an accumulated scalar. With pipe_microbatches=1
+    the pp=2 loss (task + aux) and grads must equal the scan model exactly;
+    m>1 changes only the aux averaging (grad-accum semantics)."""
+    from ucf_vit_tpu.models.moe import collect_moe_aux
+
+    kw = dict(
+        KW,
+        depth=4,
+        scan_layers=True,
+        moe_num_experts=4,
+        moe_top_k=2,
+        moe_every=1,
+    )
+    x, y = _data()
+    m0 = VIT(**kw)
+    m1 = VIT(**kw, pipe_par_size=2, pipe_microbatches=1)
+    v = unbox(m0.init(jax.random.key(0), x)["params"])
+
+    def make_loss(model):
+        def f(p, xx):
+            logits, mut = model.apply({"params": p}, xx, mutable="moe")
+            lse = jax.nn.log_softmax(logits)
+            ce = -jnp.mean(jnp.take_along_axis(lse, y[:, None], 1))
+            return ce + 0.01 * collect_moe_aux(mut)
+
+        return f
+
+    l0 = float(make_loss(m0)(v, x))
+    g0 = jax.grad(make_loss(m0))(v, x)
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(g0))
+
+    mesh = make_mesh(simple_ddp_size=2, expert_par_size=2, pipe_par_size=2)
+    with mesh_context(mesh):
+        xs = shard_batch(mesh, x)
+        l1 = float(jax.jit(make_loss(m1))(v, xs))
+        assert abs(l0 - l1) < 2e-5, (l0, l1)
+        g1 = jax.jit(jax.grad(make_loss(m1)))(v, xs)
+    for (k, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g0), jax.tree.leaves(g1)
+    ):
+        assert float(jnp.max(jnp.abs(a - b))) <= 2e-5 * max(gmax, 1.0), (
+            k, float(jnp.max(jnp.abs(a - b))), gmax,
+        )

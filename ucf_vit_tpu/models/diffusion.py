@@ -174,7 +174,7 @@ class DiffusionVIT(VIT):
                 else:
                     from ucf_vit_tpu.models.vit import run_pipelined_stack
 
-                    x = run_pipelined_stack(
+                    x, _, _ = run_pipelined_stack(
                         self.decoder_blocks_scan,
                         self._pipe_dec_kwargs,
                         self.pipe_par_size,

@@ -251,13 +251,14 @@ class MAE(VIT):
         """GPipe over the decoder stack — same machinery as the encoder."""
         from ucf_vit_tpu.models.vit import run_pipelined_stack
 
-        return run_pipelined_stack(
+        y, _, _ = run_pipelined_stack(
             self.decoder_blocks_scan,
             self._pipe_dec_kwargs,
             self.pipe_par_size,
             self.pipe_microbatches,
             x,
         )
+        return y
 
     # --------------------------------------------------------------- forward
 

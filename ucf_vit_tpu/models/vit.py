@@ -67,7 +67,12 @@ def run_pipelined_stack(
     decoder stacks. The stacked params are read off the BOUND nn.scan
     submodule (gradients flow: `.variables` returns the live traced
     arrays) and each layer slice is applied through a detached pure Block
-    (parent=None: declares no params, it is only an applier)."""
+    (parent=None: declares no params, it is only an applier).
+
+    Returns (y, taps_or_None, moe_aux_scalar). For MoE blocks the sow'd
+    load-balance losses are extracted per layer application and averaged
+    by the schedule (callers re-sow the scalar so collect_moe_aux sees it).
+    """
     from flax.core import meta as flax_meta
 
     from ucf_vit_tpu.ops.attention import _active_mesh
@@ -75,9 +80,17 @@ def run_pipelined_stack(
 
     stacked = flax_meta.unbox(scan_module.variables["params"])["block"]
     blk = Block(drop_path=0.0, parent=None, **block_kwargs)
+    moe_on = block_kwargs.get("moe_num_experts", 0) > 1
 
-    def apply_layer(p, t):
-        return blk.apply({"params": p}, t, True)
+    if moe_on:
+        def apply_layer(p, t):
+            y, mut = blk.apply({"params": p}, t, True, mutable="moe")
+            leaves = jax.tree.leaves(mut.get("moe", {}))
+            aux = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return y, aux
+    else:
+        def apply_layer(p, t):
+            return blk.apply({"params": p}, t, True)
 
     return pipeline_blocks(
         apply_layer,
@@ -356,12 +369,19 @@ class VIT(nn.Module):
             seg_len=self._block_seg_len(),
         )
         moe_on = self.moe_num_experts > 1
-        if self.pipe_par_size > 1:
-            assert not moe_on, (
-                "MoE blocks inside the GPipe shard_map schedule are not "
-                "supported (the schedule is manual over pp; MoE's ep-axis "
-                "einsum resharding must stay in GSPMD auto mode)"
+        if moe_on and (self.scan_layers or self.pipe_par_size > 1):
+            # scan stacks one homogeneous Block: every layer is MoE
+            assert self.moe_every == 1, (
+                "scan_layers stacks identical blocks; MoE under scan "
+                "requires moe_every == 1 (or use scan_layers=False for "
+                "the V-MoE every-2 placement)"
             )
+            block_kwargs.update(
+                moe_num_experts=self.moe_num_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+            )
+        if self.pipe_par_size > 1:
             assert self.scan_layers, (
                 "pipe_par_size > 1 requires scan_layers (block params must "
                 "be stacked [depth, ...] so stages shard over the pp axis)"
@@ -384,18 +404,6 @@ class VIT(nn.Module):
             assert self.drop_path_rate == 0.0, (
                 "scan_layers requires drop_path_rate == 0"
             )
-            if moe_on:
-                # scan stacks one homogeneous Block: every layer is MoE
-                assert self.moe_every == 1, (
-                    "scan_layers stacks identical blocks; MoE under scan "
-                    "requires moe_every == 1 (or use scan_layers=False for "
-                    "the V-MoE every-2 placement)"
-                )
-                block_kwargs.update(
-                    moe_num_experts=self.moe_num_experts,
-                    moe_top_k=self.moe_top_k,
-                    moe_capacity_factor=self.moe_capacity_factor,
-                )
             self.blocks_scan = nn.scan(
                 _ScanBlockBody,
                 length=self.depth,
@@ -565,7 +573,12 @@ class VIT(nn.Module):
         # during init the sequential scan path must run so blocks_scan
         # CREATES its (stacked) params; the pipeline only reads them
         if self.pipe_par_size > 1 and not self.is_initializing():
-            return self._run_blocks_pipelined(x)
+            y, _, aux = self._run_blocks_pipelined(x)
+            if self.moe_num_experts > 1:
+                # re-sow the schedule-averaged MoE load-balance loss so the
+                # task's collect_moe_aux sees it like the scan path's sows
+                self.sow("moe", "aux_loss", aux)
+            return y
         if self.scan_layers:
             x, _ = self.blocks_scan(x, deterministic)
             return x
@@ -617,7 +630,11 @@ class VIT(nn.Module):
             # GPipe with skip taps: each intermediate's owning stage writes
             # it into the tap buffer the schedule psums out at the end
             # (parallel/pipeline.py take_indices)
-            y, taps = self._run_blocks_pipelined(x, take_indices=tuple(take))
+            y, taps, aux = self._run_blocks_pipelined(
+                x, take_indices=tuple(take)
+            )
+            if self.moe_num_experts > 1:
+                self.sow("moe", "aux_loss", aux)
             intermediates = [
                 taps[i][:, self.num_prefix_tokens :] for i in range(len(take))
             ]

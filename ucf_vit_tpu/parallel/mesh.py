@@ -215,26 +215,57 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH.get()
 
 
+_MANUAL_REGION: contextvars.ContextVar = contextvars.ContextVar(
+    "ucf_vit_tpu_manual_region", default=False
+)
+
+
 def logical_constraint(x, names):
     """Sharding constraint by logical axis names — the framework-wide
     replacement for nn.with_logical_constraint, which requires a *global*
-    mesh to act. No active mesh (single-device oracle mode, or inside a
-    manual shard_map region) -> identity."""
+    mesh to act. No active mesh (single-device oracle mode) -> identity.
+
+    Inside a manual shard_map region (the GPipe schedule,
+    manual_region_constraints()) the constraint is emitted as a BARE
+    PartitionSpec over the still-auto axes: a NamedSharding built on the
+    outer mesh would name the manual axis with type Auto and be rejected on
+    pp-varying values. Dims whose extent does not divide their mesh-axes
+    product are left unconstrained (microbatches can be smaller than the
+    data-shard count)."""
     mesh = _ACTIVE_MESH.get()
     if mesh is None:
         return x
-    return nn.with_logical_constraint(x, names, mesh=mesh)
+    if not _MANUAL_REGION.get():
+        return nn.with_logical_constraint(x, names, mesh=mesh)
+    from flax.linen import spmd as _spmd
+
+    axes = _spmd.logical_to_mesh_axes(tuple(names))
+    if axes is None:
+        return x
+    resolved = []
+    for dim, a in enumerate(axes):
+        if a is None or not isinstance(a, (str, tuple, list)):
+            resolved.append(None)
+            continue
+        group = (a,) if isinstance(a, str) else tuple(a)
+        extent = int(np.prod([mesh.shape[g] for g in group]))
+        resolved.append(group if x.shape[dim] % max(extent, 1) == 0 else None)
+    if all(r is None for r in resolved):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.PartitionSpec(*resolved)
+    )
 
 
 @contextlib.contextmanager
-def no_activation_constraints():
-    """Suppress logical_constraint inside manual (shard_map) regions, where
-    with_sharding_constraint over already-manual axes is not meaningful."""
-    token = _ACTIVE_MESH.set(None)
+def manual_region_constraints():
+    """Mark a manual (shard_map) region: logical_constraint switches to
+    bare-PartitionSpec emission over the auto axes (see above)."""
+    token = _MANUAL_REGION.set(True)
     try:
         yield
     finally:
-        _ACTIVE_MESH.reset(token)
+        _MANUAL_REGION.reset(token)
 
 
 @contextlib.contextmanager

@@ -71,7 +71,11 @@ def pipeline_blocks(
 ):
     """Run a stacked layer sequence as a GPipe pipeline over `axis`.
 
-    apply_layer(layer_params, x) -> x : ONE block, pure (dropout-free).
+    apply_layer(layer_params, x) -> x  OR  (x, aux_scalar): ONE block, pure
+    (dropout-free). A returned aux scalar (MoE load-balance loss) is
+    accumulated over layers and microbatches and returned as its MEAN — the
+    per-microbatch average, i.e. gradient-accumulation semantics for the
+    auxiliary objective.
     stacked_params: pytree whose leaves have leading axis `depth`
         (depth % pp_size == 0); sharded (or shardable) over `axis` on dim 0.
     x: [B, ...] activations, replicated over `axis` (other mesh axes free).
@@ -111,11 +115,13 @@ def pipeline_blocks(
 
         def stage_apply(xi):
             def body(c, p):
-                c = apply_layer(p, c)
-                return c, c
+                out = apply_layer(p, c)
+                c, a = out if isinstance(out, tuple) else (out, jnp.float32(0))
+                return c, (c, a)
 
-            c, ys = lax.scan(body, xi, local_params)
-            return c, ys  # ys: per-layer outputs [l_local, ...]
+            c, (ys, auxs) = lax.scan(body, xi, local_params)
+            # ys: per-layer outputs [l_local, ...]; auxs summed over layers
+            return c, ys, jnp.sum(auxs)
 
         # carries start stage-invariant (zeros) but become stage-varying:
         # declare that to jax's varying-mesh-axes tracking up front
@@ -127,15 +133,16 @@ def pipeline_blocks(
             jnp.zeros((m, k_taps) + xm.shape[1:], xm.dtype), (axis,),
             to="varying",
         )
+        aux_acc = lax.pcast(jnp.float32(0.0), (axis,), to="varying")
 
         def tick(state, t):
-            carry, buf, taps_buf = state
+            carry, buf, taps_buf, aux_acc = state
             mb = t - stage  # microbatch this stage works on (may be bubble)
             inp0 = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
             x_in = jnp.where(stage == 0, inp0, carry)
-            y, ys = jax.checkpoint(stage_apply)(x_in)
+            y, ys, aux = jax.checkpoint(stage_apply)(x_in)
             nxt = lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)])
             in_flight = (mb >= 0) & (mb < m)
             valid = in_flight & (stage == s - 1)
@@ -144,6 +151,7 @@ def pipeline_blocks(
             buf = lax.dynamic_update_index_in_dim(
                 buf, jnp.where(valid, y, cur), wi, 0
             )
+            aux_acc = aux_acc + jnp.where(in_flight, aux, 0.0)
             for kk, gidx in enumerate(take_indices):
                 # the stage owning global block gidx writes its output for
                 # this microbatch; every other stage's slot stays zero
@@ -153,35 +161,40 @@ def pipeline_blocks(
                 taps_buf = taps_buf.at[wi, kk].set(
                     jnp.where(ok, ys[j_k], cur_t)
                 )
-            return (carry if s == 1 else nxt, buf, taps_buf), None
+            return (carry if s == 1 else nxt, buf, taps_buf, aux_acc), None
 
-        (carry, buf, taps_buf), _ = lax.scan(
-            tick, (carry, buf, taps_buf), jnp.arange(ticks)
+        (carry, buf, taps_buf, aux_acc), _ = lax.scan(
+            tick, (carry, buf, taps_buf, aux_acc), jnp.arange(ticks)
         )
         # only the last stage holds real outputs; make them stage-replicated.
         # taps_buf needs no mask: non-owning stages never wrote their slots.
         out = lax.psum(
             jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)), axis
         )
-        return out, lax.psum(taps_buf, axis)
+        # mean over (layers, microbatches): every (stage, in-flight tick)
+        # pair contributed one summed-over-l_local aux
+        aux_mean = lax.psum(aux_acc, axis) / float(depth * m)
+        return out, lax.psum(taps_buf, axis), aux_mean
 
     from ucf_vit_tpu.ops.attention import local_attention_only
-    from ucf_vit_tpu.parallel.mesh import no_activation_constraints
+    from ucf_vit_tpu.parallel.mesh import manual_region_constraints
 
-    # the body is already a manual region: attention inside must use its
-    # direct (per-shard) paths, not its own full-mesh shard_map wrapper,
-    # and activation logical_constraints must not fire over manual axes
-    with local_attention_only(), no_activation_constraints():
-        ym, taps = jax.shard_map(
+    # the body is a manual-over-pp region: attention inside must use its
+    # direct (per-shard) paths, not its own full-mesh shard_map wrapper;
+    # activation logical_constraints switch to bare-PartitionSpec emission
+    # over the still-auto data/tensor axes (mesh.logical_constraint)
+    with local_attention_only(), manual_region_constraints():
+        ym, taps, aux = jax.shard_map(
             schedule,
             mesh=mesh,
             in_specs=(P(axis), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             axis_names={axis},
         )(stacked_params, xm)
     y = ym.reshape(x.shape)
-    if not k_taps:
-        return y
-    # [m, K, b/m, ...] -> [K, b, ...]
-    taps = jnp.moveaxis(taps, 1, 0).reshape((k_taps, b) + x.shape[1:])
-    return y, taps
+    if k_taps:
+        # [m, K, b/m, ...] -> [K, b, ...]
+        taps = jnp.moveaxis(taps, 1, 0).reshape((k_taps, b) + x.shape[1:])
+    else:
+        taps = None
+    return y, taps, aux
