@@ -412,3 +412,31 @@ def test_pp_moe_matches_scan():
         assert float(jnp.max(jnp.abs(a - b))) <= 2e-5 * max(gmax, 1.0), (
             k, float(jnp.max(jnp.abs(a - b))), gmax,
         )
+
+
+def test_pp_bf16_compiles_and_matches():
+    """bf16 x pp compile guard (round-4 find): jax's shardy lowering roots
+    psum/psum_invariant reducers with a Sharding custom-call; the partitioner
+    rewrites it to a `copy` and XLA's bf16 float-normalization then crashes
+    ("Invalid binary instruction opcode copy") — which made the shipped
+    vit_l_pp config (data_type bfloat16) uncompilable. The schedule now keeps
+    every reducer-crossing value f32 (pipeline.py boundary notes). This test
+    both compiles/executes a bf16 pp model AND checks it against the bf16
+    scan model."""
+    x, y = _data()
+    kw = dict(KW, dtype=jnp.bfloat16)
+    m0 = VIT(**kw, scan_layers=True)
+    m1 = VIT(**kw, scan_layers=True, pipe_par_size=2, pipe_microbatches=4)
+    v = unbox(m0.init(jax.random.key(0), x)["params"])
+    y0 = m0.apply({"params": v}, x)
+
+    mesh = make_mesh(simple_ddp_size=4, pipe_par_size=2)
+    with mesh_context(mesh):
+        xs = shard_batch(mesh, x)
+        y1 = jax.jit(lambda p, xx: m1.apply({"params": p}, xx))(v, xs)
+        np.testing.assert_allclose(
+            np.asarray(y0, np.float32), np.asarray(y1, np.float32),
+            atol=3e-2, rtol=3e-2,  # bf16 reassociation noise
+        )
+        g1 = jax.jit(jax.grad(_loss(m1, y)))(v, xs)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in jax.tree.leaves(g1))

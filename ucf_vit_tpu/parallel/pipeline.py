@@ -108,8 +108,27 @@ def pipeline_blocks(
         f"take_indices {take_indices} out of range for depth {depth}"
     )
     xm = x.reshape((m, b // m) + x.shape[1:])
+    # bf16 must not cross this shard_map's psum boundaries: jax's shardy
+    # lowering roots every psum/psum_invariant reducer with a Sharding
+    # custom-call, which the SPMD partitioner rewrites to a `copy`; XLA's
+    # bf16 float-normalization then rebuilds the reducer via
+    # CreateBinary(root opcode) and CHECK-fails on kCopy ("Invalid binary
+    # instruction opcode copy"). f32 reducers are never rewritten, so the
+    # boundary input (whose backward is a psum_invariant over pp) and the
+    # end-of-schedule psums run in f32; everything in between — stage
+    # compute, ppermute hops — keeps the model dtype.
+    # (tests/test_parallel_pp.py::test_pp_bf16_compiles guards this.)
+    io_dtype = xm.dtype
+    xm_io = xm.astype(jnp.float32) if io_dtype == jnp.bfloat16 else xm
+
+    def _psum_f32(v):
+        return lax.psum(v.astype(jnp.float32), axis).astype(v.dtype)
 
     def schedule(local_params, xm):
+        # NOTE: xm stays f32 until after the stage-0 select below — the
+        # select is where the invariant input is implicitly pcast to
+        # pp-varying, and that pcast's transpose is the psum_invariant whose
+        # reducer must not be bf16 (see the boundary note above)
         stage = lax.axis_index(axis)
         ticks = m + s - 1
 
@@ -124,15 +143,18 @@ def pipeline_blocks(
             return c, ys, jnp.sum(auxs)
 
         # carries start stage-invariant (zeros) but become stage-varying:
-        # declare that to jax's varying-mesh-axes tracking up front
-        buf = lax.pcast(jnp.zeros_like(xm), (axis,), to="varying")
-        carry = lax.pcast(
-            jnp.zeros(xm.shape[1:], xm.dtype), (axis,), to="varying"
-        )
-        taps_buf = lax.pcast(
-            jnp.zeros((m, k_taps) + xm.shape[1:], xm.dtype), (axis,),
-            to="varying",
-        )
+        # declare that to jax's varying-mesh-axes tracking up front. The
+        # pcast itself happens on f32 zeros (cast to the model dtype after):
+        # its TRANSPOSE is a psum_invariant of the cotangent, which must not
+        # be bf16 for the same reducer reason as the boundary note above.
+        def _varying_zeros(shape):
+            z = lax.pcast(jnp.zeros(shape, jnp.float32), (axis,), to="varying")
+            return z.astype(io_dtype)
+
+        buf = _varying_zeros(xm.shape)
+        carry = _varying_zeros(xm.shape[1:])
+        taps_buf = _varying_zeros((m, k_taps) + xm.shape[1:])
+        # (shapes only — dtypes come from io_dtype inside _varying_zeros)
         aux_acc = lax.pcast(jnp.float32(0.0), (axis,), to="varying")
 
         def tick(state, t):
@@ -141,7 +163,9 @@ def pipeline_blocks(
             inp0 = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
-            x_in = jnp.where(stage == 0, inp0, carry)
+            x_in = jnp.where(
+                stage == 0, inp0, carry.astype(jnp.float32)
+            ).astype(io_dtype)
             y, ys, aux = jax.checkpoint(stage_apply)(x_in)
             nxt = lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)])
             in_flight = (mb >= 0) & (mb < m)
@@ -168,13 +192,11 @@ def pipeline_blocks(
         )
         # only the last stage holds real outputs; make them stage-replicated.
         # taps_buf needs no mask: non-owning stages never wrote their slots.
-        out = lax.psum(
-            jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)), axis
-        )
+        out = _psum_f32(jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)))
         # mean over (layers, microbatches): every (stage, in-flight tick)
         # pair contributed one summed-over-l_local aux
         aux_mean = lax.psum(aux_acc, axis) / float(depth * m)
-        return out, lax.psum(taps_buf, axis), aux_mean
+        return out, _psum_f32(taps_buf), aux_mean
 
     from ucf_vit_tpu.ops.attention import local_attention_only
     from ucf_vit_tpu.parallel.mesh import manual_region_constraints
@@ -190,7 +212,7 @@ def pipeline_blocks(
             in_specs=(P(axis), P()),
             out_specs=(P(), P(), P()),
             axis_names={axis},
-        )(stacked_params, xm)
+        )(stacked_params, xm_io)
     y = ym.reshape(x.shape)
     if k_taps:
         # [m, K, b/m, ...] -> [K, b, ...]
