@@ -185,12 +185,23 @@ def test_pp_config_asserts():
     cfg.raw["parallelism"]["pipe_par_size"] = 2
     cfg.validate()  # 4 % 2 == 0: fine
 
+    # UNETR skip connections compose with pp since round 4 (take_indices)
     ucfg = _cfg("unetr", extra_data={"num_classes": 3})
     ucfg.raw["parallelism"]["pipe_par_size"] = 2
     ucfg.raw["model"]["net"]["init_args"]["depth"] = 4
     ucfg.raw["model"]["net"]["init_args"]["skip_connection"] = True
-    with pytest.raises(AssertionError):
-        ucfg.validate()
+    ucfg.validate()
+
+    # MoE x pp requires the scanned stack's moe_every == 1
+    mcfg = _cfg("classification", extra_data={"num_classes": 3})
+    mcfg.raw["parallelism"]["pipe_par_size"] = 2
+    mcfg.raw["model"]["net"]["init_args"].update(
+        depth=4, moe_num_experts=4, moe_every=2
+    )
+    with pytest.raises(AssertionError, match="moe_every"):
+        mcfg.validate()
+    mcfg.raw["model"]["net"]["init_args"]["moe_every"] = 1
+    mcfg.validate()
 
 
 def test_pp_diffusion_decoder():

@@ -183,13 +183,6 @@ class Config:
                 "(the pipelined schedule cannot nest the sequence-parallel "
                 "attention's own manual region)"
             )
-            assert self.task != "unetr" or bool(
-                self.init_args.get("linear_decoder", False)
-            ) or not bool(self.init_args.get("skip_connection", True)), (
-                "pipe_par_size > 1 does not support UNETR skip connections "
-                "(forward_intermediates needs per-layer outputs, which live "
-                "on different pipeline stages)"
-            )
         moe_e = int(self.init_args.get("moe_num_experts", 0))
         ep = int(self.parallelism.get("expert_par_size", 1))
         if moe_e > 1 or ep > 1:
@@ -200,10 +193,14 @@ class Config:
             assert moe_e % ep == 0, (
                 f"moe_num_experts {moe_e} must divide by expert_par_size {ep}"
             )
-            assert pp == 1, (
-                "MoE with pipe_par_size > 1 is not supported (the GPipe "
-                "schedule is manual over pp; MoE needs GSPMD auto mode)"
-            )
+            if pp > 1:
+                # MoE x pp composes (round 4): the GPipe schedule keeps ep
+                # in GSPMD auto mode and carries the load-balance aux; MoE
+                # under pp rides the scan path, which needs moe_every == 1
+                assert int(self.init_args.get("moe_every", 2)) == 1, (
+                    "MoE with pipe_par_size > 1 runs blocks as one scanned "
+                    "stack: set moe_every: 1"
+                )
             every = int(self.init_args.get("moe_every", 2))
             assert every >= 1, "moe_every must be >= 1"
             if bool(
