@@ -13,8 +13,11 @@ exercise distinct parallelism machinery:
   mae       — the flagship ddp path with grad scaler wiring
 
 Each case spawns a fresh subprocess (its own virtual device count + clean
-compile state) and must compile AND execute one step, with zero
-"Involuntary full rematerialization" partitioner warnings.
+compile state) and must COMPILE the full sharded train step (AOT, abstract
+state — big configs like mae_long would need hundreds of GB to actually
+execute a 128^3 step on a CPU host) with zero "Involuntary full
+rematerialization" partitioner warnings. Execution coverage comes from the
+dryrun and the tiny-model equivalence tests.
 """
 
 import os
@@ -71,6 +74,11 @@ arrays = {k: jnp.asarray(v) for k, v in ex.items() if isinstance(v, np.ndarray)}
 var_ids = (model.get_var_ids(ex["variables"])
            if cfg.init_args.get("use_varemb", False) else None)
 
+from ucf_vit_tpu.parallel.train_step import (
+    TrainState, _rebox_opt_state, logical_state_sharding, unbox,
+)
+from ucf_vit_tpu.parallel.mesh import batch_sharding
+
 with mesh_context(mesh):
     def init_fn():
         rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
@@ -79,14 +87,38 @@ with mesh_context(mesh):
 
     shapes = jax.eval_shape(init_fn)["params"]
     tx = configure_optimizer(shapes, lr=1e-4, warmup_steps=10, max_steps=100)
-    state, _ = create_sharded_train_state(init_fn, tx, mesh)
-    sbatch = shard_batch(mesh, arrays)
+
+    def make_state():
+        variables = init_fn()
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(unbox(params)),
+        )
+
+    state_shapes = jax.eval_shape(make_state)
+    state_shapes = state_shapes.replace(
+        opt_state=_rebox_opt_state(state_shapes.opt_state, state_shapes.params)
+    )
+    sharding = logical_state_sharding(state_shapes, mesh)
+    abstract_state = jax.tree.map(
+        lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+        unbox(state_shapes), unbox(sharding),
+    )
+    abstract_batch = {
+        k: jax.ShapeDtypeStruct(
+            v.shape, v.dtype, sharding=batch_sharding(mesh, v.ndim)
+        )
+        for k, v in arrays.items()
+    }
     step = make_train_step(
         lambda p, b, r: loss_fn(p, b, r, var_ids=var_ids), tx, donate=False
     )
-    state, loss, _ = step(state, sbatch, jax.random.key(0))
-    assert np.isfinite(float(loss)), f"non-finite loss {float(loss)}"
-print("CONFIG_COMPILE_OK", float(loss), flush=True)
+    compiled = step.lower(
+        abstract_state, abstract_batch, jax.random.key(0)
+    ).compile()
+    assert compiled is not None
+print("CONFIG_COMPILE_OK", flush=True)
 """
 
 
