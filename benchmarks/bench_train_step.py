@@ -9,7 +9,8 @@ DiffusionVIT — or any future config — the same measurement without another
 copy of the harness. The reference publishes no per-architecture numbers
 at all (BASELINE.md "published: {}").
 
-Usage: python benchmarks/bench_train_step.py <config.yaml> [--remat] [bs ...]
+Usage: python benchmarks/bench_train_step.py <config.yaml> [--remat] [--bf16]
+       [--accum N] [bs ...]
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ WARMUP = 2
 
 
 def bench_batch(cfg_path: str, batch: int, remat: bool = False,
-                bf16: bool = False) -> dict:
+                bf16: bool = False, accum: int = 1) -> dict:
     from ucf_vit_tpu.config import load_config
     from ucf_vit_tpu.parallel.train_step import (
         TrainState,
@@ -65,7 +66,7 @@ def bench_batch(cfg_path: str, batch: int, remat: bool = False,
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
     )
     step = make_train_step(lambda p, bb, r: loss_fn(p, bb, r, var_ids=None),
-                           tx, donate=False)
+                           tx, donate=False, accum_steps=accum)
 
     # Executed-FLOP count straight from XLA's cost analysis of the compiled
     # step (VERDICT r3 #6: every benchmark row needs an MFU denominator).
@@ -120,20 +121,27 @@ def main():
     cfg_path = argv[0]
     remat = "--remat" in argv
     bf16 = "--bf16" in argv
-    batches = [
-        int(a) for a in argv[1:] if a not in ("--remat", "--bf16")
-    ] or [2, 4, 8]
+    accum = 1
+    rest = []
+    it = iter(argv[1:])
+    for a in it:
+        if a == "--accum":
+            accum = int(next(it))
+        elif a not in ("--remat", "--bf16"):
+            rest.append(a)
+    batches = [int(a) for a in rest] or [2, 4, 8]
     name = cfg_path.rstrip("/").split("configs/")[-1].replace(
         "/", "_").removesuffix(".yaml").removesuffix("_base_config")
     rows = []
     for bs in batches:
         try:
-            r = bench_batch(cfg_path, bs, remat=remat, bf16=bf16)
+            r = bench_batch(cfg_path, bs, remat=remat, bf16=bf16, accum=accum)
         except Exception as e:  # OOM at the top of a sweep is a result
             print(json.dumps({"batch": bs, "error": str(e)[:200]}), flush=True)
             continue
         r["remat"] = remat
         r["dtype"] = "bf16" if bf16 else "config"
+        r["accum"] = accum
         rows.append(r)
         print(json.dumps(r), flush=True)
     assert rows, "every batch size failed"

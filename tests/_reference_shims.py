@@ -276,7 +276,32 @@ def install() -> None:
     networks.blocks = blocks
     monai.networks = networks
 
+    # The reference's utils/metrics.py and utils/misc.py import torchvision
+    # and torchdata at module level but the functions the parity tests use
+    # (masked_mse, patchify) never touch them — empty module shims let the
+    # REAL reference loss/patchify code run as the curve-parity oracle.
+    torchvision = types.ModuleType("torchvision")
+    torchvision._is_shim = True
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_functional = types.ModuleType("torchvision.transforms.functional")
+    torchvision.transforms = tv_transforms
+    tv_transforms.functional = tv_functional
+    torchdata = types.ModuleType("torchdata")
+    torchdata._is_shim = True
+    datapipes = types.ModuleType("torchdata.datapipes")
+    datapipes.iter = types.ModuleType("torchdata.datapipes.iter")
+    torchdata.datapipes = datapipes
+    nibabel = types.ModuleType("nibabel")
+    nibabel._is_shim = True
+
     sys.modules.update({
+        "nibabel": nibabel,
+        "torchvision": torchvision,
+        "torchvision.transforms": tv_transforms,
+        "torchvision.transforms.functional": tv_functional,
+        "torchdata": torchdata,
+        "torchdata.datapipes": datapipes,
+        "torchdata.datapipes.iter": datapipes.iter,
         "timm": timm,
         "timm.layers": layers,
         "timm.layers.helpers": helpers,

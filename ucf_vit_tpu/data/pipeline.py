@@ -58,6 +58,9 @@ def _load_nifti(path: str) -> np.ndarray:
     try:
         import nibabel as nib
     except ImportError:
+        nib = None
+    if nib is None or not hasattr(nib, "load"):
+        # no nibabel, or a test shim registered an empty stand-in module
         from ucf_vit_tpu.data import nifti
 
         return nifti.load(path)
