@@ -69,7 +69,10 @@ from ucf_vit_tpu.utils.optim import configure_optimizer
 
 mesh = mesh_from_config(par)
 model, loss_fn = build_task(cfg)
-ex = example_batch(cfg, max(cfg.batch_size, world))
+# the TRUE training-time global batch (train.py:331): compiling a smaller
+# stand-in batch partitions differently (a 64-sample batch over 8 data
+# shards microbatched by 16 is not the program the 512-sample run lowers)
+ex = example_batch(cfg, cfg.batch_size * cfg.data_par_size)
 arrays = {k: jnp.asarray(v) for k, v in ex.items() if isinstance(v, np.ndarray)}
 var_ids = (model.get_var_ids(ex["variables"])
            if cfg.init_args.get("use_varemb", False) else None)

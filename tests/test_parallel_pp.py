@@ -55,6 +55,12 @@ def test_pick_microbatches():
     assert pick_microbatches(24, 2, 0) == 8
     assert pick_microbatches(7, 4, 0) == 7
     assert pick_microbatches(5, 1, 0) == 1  # 4*1=4, divisors of 5 <= 4 -> 1
+    # data-extent alignment: each microbatch must cover every data shard
+    assert pick_microbatches(24, 2, 0, data_extent=4) == 6  # 24/6=4 aligned
+    assert pick_microbatches(24, 2, 0, data_extent=8) == 3  # 24/3=8 aligned
+    # unalignable (batch 7 has no divisor with an 8-divisible cofactor):
+    # fall back to the bubble-optimal pick
+    assert pick_microbatches(7, 4, 0, data_extent=8) == 7
 
 
 @pytest.mark.parametrize("pp,ddp,micro", [(4, 2, 4), (2, 2, 8), (8, 1, 2)])

@@ -39,23 +39,52 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ucf_vit_tpu.parallel.mesh import AXIS_PP
+from ucf_vit_tpu.parallel.mesh import AXIS_PP, AXIS_SP, DATA_AXES
 
 
-def pick_microbatches(batch: int, pp_size: int, requested: int = 0) -> int:
+def _batch_group(mesh, mb: int) -> tuple:
+    """Largest subset of the data axes (ddp, ep, fsdp) whose extent divides
+    the per-microbatch batch `mb` — the axes the schedule lays each
+    microbatch's batch dim over. When mb is smaller than the full data
+    extent (more data shards than samples per microbatch) the leftover axes
+    replicate — the schedule is honest about that waste; pick_microbatches
+    avoids it when the count is not forced."""
+    best: tuple = ()
+    best_ext = 1
+    n_ax = len(DATA_AXES)
+    for bits in range(1, 1 << n_ax):
+        grp = tuple(a for i, a in enumerate(DATA_AXES) if bits >> i & 1)
+        ext = 1
+        for a in grp:
+            ext *= mesh.shape[a]
+        if ext > best_ext and mb % ext == 0:
+            best, best_ext = grp, ext
+    return best
+
+
+def pick_microbatches(
+    batch: int, pp_size: int, requested: int = 0, data_extent: int = 1
+) -> int:
     """Microbatch count for the schedule. Explicit `requested` wins (must
     divide the batch); otherwise the largest divisor of `batch` that is
-    <= 4 * pp_size (bubble fraction <= (S-1)/(4S) ~ 20%)."""
+    <= 4 * pp_size (bubble fraction <= (S-1)/(4S) ~ 20%) AND — among those —
+    keeps each microbatch divisible by `data_extent` (the ddp x ep x fsdp
+    shard count), so every data shard holds at least one sample per tick
+    and no stage compute is replicated. If no divisor satisfies both, the
+    bubble bound wins (a tiny batch on a wide mesh replicates instead)."""
     if requested > 0:
         assert batch % requested == 0, (
             f"pipe_microbatches {requested} does not divide batch {batch}"
         )
         return requested
     best = 1
+    best_aligned = 0
     for m in range(1, min(batch, 4 * pp_size) + 1):
         if batch % m == 0:
             best = m
-    return best
+            if (batch // m) % max(data_extent, 1) == 0:
+                best_aligned = m
+    return best_aligned or best
 
 
 def pipeline_blocks(
@@ -100,14 +129,28 @@ def pipeline_blocks(
         f"depth {depth} not divisible by pipe_par_size {pp_size}"
     )
     b = x.shape[0]
-    m = pick_microbatches(b, pp_size, num_microbatches)
+    data_ext = 1
+    for a in DATA_AXES:
+        data_ext *= mesh.shape[a]
+    m = pick_microbatches(b, pp_size, num_microbatches, data_ext)
     s = pp_size
     l_local = depth // s
     k_taps = len(take_indices)
     assert all(0 <= i < depth for i in take_indices), (
         f"take_indices {take_indices} out of range for depth {depth}"
     )
-    xm = x.reshape((m, b // m) + x.shape[1:])
+    # STRIDED microbatch split: microbatch j = samples {i*m + j}. The batch
+    # arrives dim-0-sharded over the data axes; a contiguous [B] -> [M, B/M]
+    # split would put each microbatch's samples on ONE data shard, so every
+    # tick either reshards (the partitioner falls back to a full
+    # rematerialization) or computes on 1/data_ext of the devices. Reshaping
+    # batch-major and swapping instead keeps every sample on its home
+    # device — each data shard contributes B/(M*data_ext) samples to EVERY
+    # microbatch and the swap is sharding-local (no collective). Grouping is
+    # semantically free: all per-sample math is grouping-invariant and MoE
+    # capacity is per-sample (models/moe.py). The inverse swap below puts
+    # outputs back in input order.
+    xm = jnp.swapaxes(x.reshape((b // m, m) + x.shape[1:]), 0, 1)
     # bf16 must not cross this shard_map's psum boundaries: jax's shardy
     # lowering roots every psum/psum_invariant reducer with a Sharding
     # custom-call, which the SPMD partitioner rewrites to a `copy`; XLA's
@@ -120,6 +163,35 @@ def pipeline_blocks(
     # (tests/test_parallel_pp.py::test_pp_bf16_compiles guards this.)
     io_dtype = xm.dtype
     xm_io = xm.astype(jnp.float32) if io_dtype == jnp.bfloat16 else xm
+    # One explicit layout for every schedule-held activation, inside and
+    # out: microbatch-INDEX dims replicated, the batch dim over the largest
+    # dividing data-axes subset, seq over sp. Without this the batch enters
+    # dim-0-sharded from its [B] -> [M, B/M] reshape, the per-tick
+    # `dynamic_index_in_dim` slices across that sharded dim, and GSPMD's
+    # only remaining move is an involuntary full rematerialization
+    # (all-gather + re-partition) of the whole input every step; the
+    # backward's cotangent buffers invent their own layouts the same way.
+    grp = _batch_group(mesh, b // m)
+    n_seq = x.shape[1] if x.ndim >= 3 else 0
+    sp_grp = (
+        AXIS_SP
+        if n_seq and mesh.shape[AXIS_SP] > 1 and n_seq % mesh.shape[AXIS_SP] == 0
+        else None
+    )
+
+    def _sched_spec(v, lead: int) -> P:
+        # [*(lead index dims), B, N, D...] -> (None..., grp, sp, None...)
+        tail = v.ndim - lead - 1
+        dims: list = [None] * lead + [grp if grp else None]
+        if tail >= 2:
+            dims += [sp_grp] + [None] * (tail - 1)
+        else:
+            dims += [None] * tail
+        return P(*dims)
+
+    xm_io = lax.with_sharding_constraint(
+        xm_io, jax.sharding.NamedSharding(mesh, _sched_spec(xm_io, 1))
+    )
 
     def _psum_f32(v):
         return lax.psum(v.astype(jnp.float32), axis).astype(v.dtype)
@@ -131,6 +203,12 @@ def pipeline_blocks(
         # reducer must not be bf16 (see the boundary note above)
         stage = lax.axis_index(axis)
         ticks = m + s - 1
+
+        def _c(v, lead: int):
+            # pin the schedule layout (bare spec: manual over pp, the spec
+            # names only still-auto axes) so neither the forward loop nor
+            # its transposed cotangent loop invents a conflicting one
+            return lax.with_sharding_constraint(v, _sched_spec(v, lead))
 
         def stage_apply(xi):
             def body(c, p):
@@ -151,9 +229,9 @@ def pipeline_blocks(
             z = lax.pcast(jnp.zeros(shape, jnp.float32), (axis,), to="varying")
             return z.astype(io_dtype)
 
-        buf = _varying_zeros(xm.shape)
-        carry = _varying_zeros(xm.shape[1:])
-        taps_buf = _varying_zeros((m, k_taps) + xm.shape[1:])
+        buf = _c(_varying_zeros(xm.shape), 1)
+        carry = _c(_varying_zeros(xm.shape[1:]), 0)
+        taps_buf = _c(_varying_zeros((m, k_taps) + xm.shape[1:]), 2)
         # (shapes only — dtypes come from io_dtype inside _varying_zeros)
         aux_acc = lax.pcast(jnp.float32(0.0), (axis,), to="varying")
 
@@ -163,17 +241,25 @@ def pipeline_blocks(
             inp0 = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
-            x_in = jnp.where(
-                stage == 0, inp0, carry.astype(jnp.float32)
-            ).astype(io_dtype)
+            x_in = _c(
+                jnp.where(
+                    stage == 0, inp0, carry.astype(jnp.float32)
+                ).astype(io_dtype),
+                0,
+            )
             y, ys, aux = jax.checkpoint(stage_apply)(x_in)
-            nxt = lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)])
+            nxt = _c(
+                lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)]), 0
+            )
             in_flight = (mb >= 0) & (mb < m)
             valid = in_flight & (stage == s - 1)
             wi = jnp.clip(mb, 0, m - 1)
             cur = lax.dynamic_index_in_dim(buf, wi, 0, keepdims=False)
-            buf = lax.dynamic_update_index_in_dim(
-                buf, jnp.where(valid, y, cur), wi, 0
+            buf = _c(
+                lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(valid, y, cur), wi, 0
+                ),
+                1,
             )
             aux_acc = aux_acc + jnp.where(in_flight, aux, 0.0)
             for kk, gidx in enumerate(take_indices):
@@ -182,8 +268,8 @@ def pipeline_blocks(
                 s_k, j_k = divmod(gidx, l_local)
                 ok = in_flight & (stage == s_k)
                 cur_t = taps_buf[wi, kk]
-                taps_buf = taps_buf.at[wi, kk].set(
-                    jnp.where(ok, ys[j_k], cur_t)
+                taps_buf = _c(
+                    taps_buf.at[wi, kk].set(jnp.where(ok, ys[j_k], cur_t)), 2
                 )
             return (carry if s == 1 else nxt, buf, taps_buf, aux_acc), None
 
@@ -192,11 +278,13 @@ def pipeline_blocks(
         )
         # only the last stage holds real outputs; make them stage-replicated.
         # taps_buf needs no mask: non-owning stages never wrote their slots.
-        out = _psum_f32(jnp.where(stage == s - 1, buf, jnp.zeros_like(buf)))
+        out = _c(
+            _psum_f32(jnp.where(stage == s - 1, buf, jnp.zeros_like(buf))), 1
+        )
         # mean over (layers, microbatches): every (stage, in-flight tick)
         # pair contributed one summed-over-l_local aux
         aux_mean = lax.psum(aux_acc, axis) / float(depth * m)
-        return out, _psum_f32(taps_buf), aux_mean
+        return out, _c(_psum_f32(taps_buf), 2), aux_mean
 
     from ucf_vit_tpu.ops.attention import local_attention_only
     from ucf_vit_tpu.parallel.mesh import manual_region_constraints
@@ -213,10 +301,12 @@ def pipeline_blocks(
             out_specs=(P(), P(), P()),
             axis_names={axis},
         )(stacked_params, xm_io)
-    y = ym.reshape(x.shape)
+    # invert the strided split: [m(j), b/m(i), ...] -> [i, j, ...] -> [b]
+    y = jnp.swapaxes(ym, 0, 1).reshape(x.shape)
     if k_taps:
-        # [m, K, b/m, ...] -> [K, b, ...]
-        taps = jnp.moveaxis(taps, 1, 0).reshape((k_taps, b) + x.shape[1:])
+        # [m(j), K, b/m(i), ...] -> [K, i, j, ...] -> [K, b, ...]
+        taps = jnp.moveaxis(taps, 1, 0)  # [K, m, b/m, ...]
+        taps = jnp.swapaxes(taps, 1, 2).reshape((k_taps, b) + x.shape[1:])
     else:
         taps = None
     return y, taps, aux
