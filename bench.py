@@ -17,7 +17,15 @@ vs_baseline: the reference publishes no quantitative numbers
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# The TPU tunnel has registered its PJRT plugin under both 'axon' and
+# 'tpu' across rig updates; a stale JAX_PLATFORMS=axon in the environment
+# aborts jax import when only 'tpu' is registered. Normalize to the
+# auto-fallback spelling so the bench always finds the chip.
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "tpu,cpu"
 
 import jax
 import jax.numpy as jnp
