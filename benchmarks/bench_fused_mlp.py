@@ -18,6 +18,7 @@ Usage: python benchmarks/bench_fused_mlp.py [M] [D] [H]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -25,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ucf_vit_tpu.ops.fused_mlp import fused_mlp, fused_mlp_reference  # noqa: E402
 
 ITERS = 30

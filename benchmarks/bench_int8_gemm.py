@@ -26,6 +26,7 @@ Usage: python benchmarks/bench_int8_gemm.py [M] [K] [N]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -33,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ucf_vit_tpu.ops.int8_gemm import (  # noqa: E402
     int8_matmul,
     int8_matmul_reference,

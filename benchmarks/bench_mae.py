@@ -19,6 +19,7 @@ identical params/FLOPs — the lever that also won 1.77x on mae_long.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -26,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import PEAK_BF16, peak_flops  # noqa: E402
 
 BATCH = 384

@@ -17,6 +17,7 @@ decoder_heads defaults to 16 (dh=36, the reference layout); 6 gives dh=96
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import peak_flops  # noqa: E402
 
 TILE = 64

@@ -15,6 +15,7 @@ Usage: python benchmarks/bench_mae_long.py [batch=1] [accum=1] [decoder_heads=6]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import peak_flops  # noqa: E402
 
 TILE = 128

@@ -17,13 +17,16 @@ SIGABRTs this rig's remote TPU compile helper and hangs the CPU backend.
 Hence no trainer config knob ships; the mechanism + this script remain so
 the rejection is reproducible when XLA/jax versions move.
 
-Usage: PYTHONPATH=. python benchmarks/bench_offload.py [batch] [accum] [steps]
+Usage: python benchmarks/bench_offload.py [batch] [accum] [steps]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,13 @@ Usage: python benchmarks/bench_sw_infer.py [overlap] [sw_batch] [vol_side]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = 3
 

@@ -16,12 +16,13 @@ Usage: python benchmarks/bench_train_step.py <config.yaml> [--remat] [--bf16]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
 WARMUP = 2
@@ -76,10 +77,28 @@ def bench_batch(cfg_path: str, batch: int, remat: bool = False,
     # utilization rather than the stricter model-FLOP convention.
     step_flops = step_bytes = None
     try:
-        ca = step.lower(state, arrays, jax.random.key(0)).compile().cost_analysis()
+        if accum > 1:
+            # XLA's cost analysis counts a lax.scan body ONCE regardless of
+            # trip count (verified: bs=32 --accum 2 reports the same flops as
+            # bs=16 --accum 1), so lowering the accum step under-reports by
+            # ~accum x. Probe a single-microbatch accum=1 step and scale.
+            # This over-counts the optimizer update (accum-1) extra times --
+            # O(params) elementwise ops, negligible against fwd+bwd GEMMs --
+            # and the same caveat applies to the (already pre-fusion) bytes.
+            assert batch % accum == 0
+            micro = jax.tree.map(lambda a: a[: batch // accum], arrays)
+            probe = make_train_step(
+                lambda p, bb, r: loss_fn(p, bb, r, var_ids=None),
+                tx, donate=False, accum_steps=1)
+            lowered = probe.lower(state, micro, jax.random.key(0))
+            scale = accum
+        else:
+            lowered = step.lower(state, arrays, jax.random.key(0))
+            scale = 1
+        ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca.get("flops", 0.0)) or None
-        step_bytes = float(ca.get("bytes accessed", 0.0)) or None
+        step_flops = float(ca.get("flops", 0.0)) * scale or None
+        step_bytes = float(ca.get("bytes accessed", 0.0)) * scale or None
     except Exception:
         pass
 

@@ -12,6 +12,7 @@ Usage: python benchmarks/bench_unetr_infer.py [batch_size]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 20
 WARMUP = 3

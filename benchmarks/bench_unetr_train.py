@@ -14,12 +14,13 @@ Usage: python benchmarks/bench_unetr_train.py [--remat] [batch ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
 WARMUP = 2
