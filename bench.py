@@ -20,12 +20,13 @@ import json
 import os
 import time
 
-# The TPU tunnel has registered its PJRT plugin under both 'axon' and
-# 'tpu' across rig updates; a stale JAX_PLATFORMS=axon in the environment
-# aborts jax import when only 'tpu' is registered. Normalize to the
-# auto-fallback spelling so the bench always finds the chip.
-if os.environ.get("JAX_PLATFORMS") == "axon":
-    os.environ["JAX_PLATFORMS"] = "tpu,cpu"
+# A stale explicit tunnel spelling in JAX_PLATFORMS aborts jax when the
+# plugin is registered under the other name; drop it and let jax
+# auto-detect the registered plugin (see bench_env.py). An explicit 'cpu'
+# is honored so test runs can import peak_flops on the host backend.
+import bench_env
+
+bench_env.normalize_jax_platforms()
 
 import jax
 import jax.numpy as jnp
@@ -134,4 +135,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # refuse to publish host-CPU throughput under an images/s/chip metric
+    # (auto-detect falls back to CPU when no TPU plugin is registered);
+    # an explicit JAX_PLATFORMS=cpu still allows a deliberate host run
+    bench_env.require_accelerator()
     main()

@@ -25,6 +25,9 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench_env  # noqa: E402
+bench_env.normalize_jax_platforms()
+
 
 from bench_pipeline import synth_ct_tree  # noqa: E402
 

@@ -17,6 +17,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench_env  # noqa: E402
+bench_env.normalize_jax_platforms()
+
 
 import jax
 import jax.numpy as jnp

@@ -22,11 +22,14 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench_env  # noqa: E402
+bench_env.normalize_jax_platforms()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ucf_vit_tpu.ops.fused_mlp import fused_mlp, fused_mlp_reference  # noqa: E402
 
 ITERS = 30

@@ -20,6 +20,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench_env  # noqa: E402
+bench_env.normalize_jax_platforms()
+
 
 REPS = 3
 

@@ -20,9 +20,12 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench_env  # noqa: E402
+bench_env.normalize_jax_platforms()
+
 import jax
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
 WARMUP = 2
@@ -145,7 +148,11 @@ def main():
     it = iter(argv[1:])
     for a in it:
         if a == "--accum":
-            accum = int(next(it))
+            v = next(it, None)
+            assert v is not None and not v.startswith("--"), (
+                "--accum needs an integer value, e.g. --accum 2"
+            )
+            accum = int(v)
         elif a not in ("--remat", "--bf16"):
             rest.append(a)
     batches = [int(a) for a in rest] or [2, 4, 8]

@@ -12,24 +12,13 @@ __graft_entry__.dryrun_multichip, including the batch=4-on-ddp=4 pp case
 that originally triggered the reshape warning.
 """
 
-import os
+from ucf_vit_tpu.tools.compile_harness import force_virtual_cpu
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-# fresh, isolated compile cache: a cache hit would skip partitioning and
-# silently skip the check
-os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+# fresh, isolated compile cache (handled inside force_virtual_cpu): a cache
+# hit would skip partitioning and silently skip the warning check
+force_virtual_cpu(8)
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-try:
-    from jax._src import xla_bridge as _xb
-
-    _xb._clear_backends()
-except Exception:
-    pass
-assert jax.device_count() == 8
 
 import jax.numpy as jnp
 import numpy as np

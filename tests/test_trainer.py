@@ -370,6 +370,18 @@ def test_validation_catsdogs_heldout(tmp_path):
     raw["data"]["dict_end_idx"] = {"catsdogs": 0.75}
     raw["data"]["val_dict_start_idx"] = {"catsdogs": 0.75}
     raw["data"]["val_dict_end_idx"] = {"catsdogs": 1.0}
+    # the held-out fraction must contain BOTH classes: sorted order is
+    # class-ordered (cat.* < dog.*), so a sorted-slice split would hold out
+    # only dogs and val_accuracy would measure a constant predictor
+    from ucf_vit_tpu.data.catsdogs import list_file_split
+
+    val_files = list_file_split(data_root, 0.75, 1.0)
+    classes = {f.rsplit("/", 1)[-1].split(".")[0] for f in val_files}
+    assert classes == {"cat", "dog"}, classes
+    train_files = list_file_split(data_root, 0.0, 0.75)
+    assert not set(train_files) & set(val_files)
+    assert len(train_files) + len(val_files) == 48
+
     cfg = Config(raw=raw, task="classification")
     out = train(cfg)
     assert all(np.isfinite(v) for v in out["loss_list"])

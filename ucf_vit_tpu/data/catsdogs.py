@@ -21,6 +21,28 @@ except ImportError:  # pragma: no cover
     cv = None
 
 
+def list_file_split(root: str, start_frac: float, end_frac: float) -> list:
+    """List the *.jpg files under ``root`` and return the
+    [start_frac, end_frac) slice of a DETERMINISTIC fixed-seed permutation.
+
+    The permutation matters: sorted() puts every cat.N.jpg before every
+    dog.N.jpg, so a contiguous fraction of the sorted list is single-class
+    — a 0.75/0.25 train/val split would hold out only dogs and val_accuracy
+    would measure nothing. A fixed-seed shuffle (independent of
+    trainer.seed, so split MEMBERSHIP never changes across runs or resumes)
+    stratifies every fraction. The reference never splits this directory
+    (`train_class_simple_torchDataloader.py:229` globs all files for
+    training); the split is this framework's val_every support.
+    """
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(root, "*.jpg")))
+    perm = np.random.RandomState(0).permutation(len(files))
+    files = [files[i] for i in perm]
+    return files[int(start_frac * len(files)) : int(end_frac * len(files))]
+
+
 class CatsDogsDataset:
     def __init__(
         self,

@@ -27,7 +27,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import os
 import re
 import sys
 from collections import defaultdict
@@ -87,63 +86,23 @@ def main(argv=None):
     ap.add_argument("--all", action="store_true", help="list every op")
     args = ap.parse_args(argv)
 
-    # virtual CPU devices sized to the config's world (before jax init)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import jax
-
+    # virtual CPU devices sized to the config's world, then the SAME
+    # AOT sharded-compile construction as the trainer/compile guard —
+    # including the TRUE global batch (batch_size x data_par_size); a
+    # smaller stand-in batch partitions differently and its collective
+    # inventory would not be the training program's
     from ucf_vit_tpu.config import load_config
+    from ucf_vit_tpu.tools.compile_harness import (
+        compile_sharded_train_step,
+        config_world,
+        force_virtual_cpu,
+    )
 
     cfg = load_config(args.config, task=args.task)
-    par = cfg.raw.get("parallelism", {})
-    world = 1
-    for k in ("simple_ddp_size", "fsdp_size", "seq_par_size",
-              "tensor_par_size", "pipe_par_size", "expert_par_size"):
-        world *= int(par.get(k, 1))
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", max(world, 1))
-    try:
-        from jax._src import xla_bridge as _xb
-
-        _xb._clear_backends()
-    except Exception:
-        pass
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ucf_vit_tpu.parallel.mesh import mesh_context, mesh_from_config, shard_batch
-    from ucf_vit_tpu.parallel.train_step import (
-        create_sharded_train_state,
-        make_train_step,
-    )
-    from ucf_vit_tpu.tasks import build_task
-    from ucf_vit_tpu.train import _init_variables, example_batch
-    from ucf_vit_tpu.utils.optim import configure_optimizer
-
-    mesh = mesh_from_config(par)
-    model, loss_fn = build_task(cfg)
-    ex = example_batch(cfg, max(cfg.batch_size, world))
-    arrays = {k: jnp.asarray(v) for k, v in ex.items() if isinstance(v, np.ndarray)}
-    var_ids = (
-        model.get_var_ids(ex["variables"])
-        if cfg.init_args.get("use_varemb", False)
-        else None
-    )
-
-    with mesh_context(mesh):
-        def init_fn():
-            rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-                    "mask": jax.random.key(2)}
-            return _init_variables(model, rngs, cfg, ex, var_ids)
-
-        shapes = jax.eval_shape(init_fn)["params"]
-        tx = configure_optimizer(shapes, lr=1e-4, warmup_steps=10, max_steps=100)
-        state, _ = create_sharded_train_state(init_fn, tx, mesh)
-        sbatch = shard_batch(mesh, arrays)
-        step = make_train_step(
-            lambda p, b, r: loss_fn(p, b, r, var_ids=var_ids), tx, donate=False
-        )
-        hlo = step.lower(state, sbatch, jax.random.key(0)).compile().as_text()
+    world = config_world(cfg.raw.get("parallelism", {}))
+    force_virtual_cpu(world)
+    compiled, mesh = compile_sharded_train_step(cfg)
+    hlo = compiled.as_text()
 
     ops = parse_collectives(hlo)
     mesh_desc = " x ".join(

@@ -125,21 +125,21 @@ def build_dataloader(
     if cfg.dataset == "catsdogs":
         # map-style smoke path with a flat dir of cat.N.jpg / dog.N.jpg
         # (parity: `train_class_simple_torchDataloader.py:227-240`)
-        import glob
-        import os
-
-        from ucf_vit_tpu.data.catsdogs import CatsDogsDataset, catsdogs_loader
+        from ucf_vit_tpu.data.catsdogs import (
+            CatsDogsDataset,
+            catsdogs_loader,
+            list_file_split,
+        )
 
         key = list(cfg.data["dict_root_dirs"])[0]
-        files = sorted(
-            glob.glob(os.path.join(cfg.data["dict_root_dirs"][key], "*.jpg"))
-        )
         # honor the same fraction keys as the iterable pipeline (the
         # val_split branch above already rewrote them to the val range), so
-        # trainer.val_every works on the catsdogs smoke path too
+        # trainer.val_every works on the catsdogs smoke path too; the split
+        # is over a fixed-seed permutation, NOT sorted order (which is
+        # class-ordered — see list_file_split)
         s = float(cfg.data.get("dict_start_idx", {}).get(key, 0.0))
         e = float(cfg.data.get("dict_end_idx", {}).get(key, 1.0))
-        files = files[int(s * len(files)) : int(e * len(files))]
+        files = list_file_split(cfg.data["dict_root_dirs"][key], s, e)
         assert files, (
             f"catsdogs file range [{s}, {e}) of "
             f"{cfg.data['dict_root_dirs'][key]} is empty"
@@ -724,6 +724,7 @@ def train(
             # the fallback where only torch is around. Optional — JSONL stays
             # the source of truth for tools/metrics_summary.py.
             tb_writer = None
+            tb_errors = []
             for mod in ("tensorboardX", "torch.utils.tensorboard"):
                 try:
                     import importlib
@@ -732,14 +733,16 @@ def train(
                         trainer["tensorboard_dir"]
                     )
                     break
-                except Exception:
-                    continue
+                except Exception as e:  # keep the REAL error: an unwritable
+                    # dir must not be reported as a missing package
+                    tb_errors.append(f"{mod}: {type(e).__name__}: {e}")
             if tb_writer is None:
                 print(
-                    "tensorboard_dir ignored: neither tensorboardX nor "
-                    "torch.utils.tensorboard is importable — "
-                    "`pip install tensorboardX` to enable scalar logging "
-                    "(per-step JSONL metrics are still written)",
+                    "tensorboard_dir ignored ("
+                    + "; ".join(tb_errors)
+                    + ") — `pip install tensorboardX` enables scalar "
+                    "logging if the module is what's missing (per-step "
+                    "JSONL metrics are still written)",
                     flush=True,
                 )
         total_steps = resume_total_steps
