@@ -3,10 +3,11 @@
 The reference threads attn_drop into every attention branch (SDPA
 `dropout_p` and the xformers/einsum paths,
 `/root/reference/src/UCF_VIT/simple/building_blocks.py:163-187`). Round 3
-accepted the YAML knob and silently ignored it; these tests pin the round-4
-implementation: einsum-path probability dropout with torch-SDPA semantics
-(drop post-softmax probs, rescale by 1/(1-p)), AUTO dispatch routed to
-EINSUM when dropping, and a hard error on explicit fused-path requests.
+accepted the YAML knob and silently ignored it; round 4 implemented the
+einsum path with torch-SDPA semantics (drop post-softmax probs, rescale by
+1/(1-p)); round 5 added dropout inside the Pallas flash kernel
+(tests/test_flash_dropout.py), so only the XLA path
+(jax.nn.dot_product_attention, no dropout parameter) still hard-errors.
 """
 
 import jax
@@ -80,14 +81,29 @@ def test_drop_unbiased_vs_torch_sdpa():
     assert np.abs(ours - theirs).mean() < 0.2 * scale
 
 
-def test_explicit_fused_path_raises():
+def test_explicit_xla_path_raises():
+    """jax.nn.dot_product_attention has no dropout parameter: an explicit
+    XLA request with attn_drop > 0 must fail loudly, never silently no-op."""
     q, k, v = _qkv()
-    for impl in (AttnImpl.FLASH, AttnImpl.XLA, "FLASH", "DEFAULT"):
+    for impl in (AttnImpl.XLA, "DEFAULT"):
         with pytest.raises(ValueError, match="attn_drop"):
             multi_head_attention(
                 q, k, v, impl=impl, dropout_rate=0.1,
                 dropout_rng=jax.random.key(0),
             )
+
+
+def test_explicit_flash_path_drops():
+    """Round 5: an explicit FLASH request with attn_drop > 0 runs the
+    in-kernel hash-mask dropout (no error, output differs from no-drop)."""
+    q, k, v = _qkv(n=32)
+    base = multi_head_attention(q, k, v, impl=AttnImpl.FLASH, interpret=True)
+    dropped = multi_head_attention(
+        q, k, v, impl=AttnImpl.FLASH, interpret=True, dropout_rate=0.3,
+        dropout_rng=jax.random.key(0),
+    )
+    assert np.isfinite(np.asarray(dropped)).all()
+    assert not np.allclose(np.asarray(dropped), np.asarray(base))
 
 
 def test_auto_routes_to_einsum_and_module_plumbs():

@@ -89,7 +89,6 @@ def test_ulysses_sp_flash_matches_einsum():
 def test_ring_attention_matches_einsum():
     """Ring attention (rotating KV via ppermute) on the sp axis == einsum,
     forward and backward."""
-    import ucf_vit_tpu.ops.attention as A
     from ucf_vit_tpu.parallel import make_mesh
     from ucf_vit_tpu.parallel.mesh import mesh_context
 
@@ -97,39 +96,35 @@ def test_ring_attention_matches_einsum():
     ref = einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5)
 
     mesh = make_mesh(2, 1, 4, 1)  # ddp 2 x sp 4
-    old = A.SP_MODE
-    A.SP_MODE = "ring"
-    try:
-        with mesh_context(mesh):
-            fn = jax.jit(
-                lambda q, k, v: multi_head_attention(
-                    q, k, v, impl=AttnImpl.FLASH, interpret=True
-                )
+    with mesh_context(mesh):
+        fn = jax.jit(
+            lambda q, k, v: multi_head_attention(
+                q, k, v, impl=AttnImpl.FLASH, interpret=True, sp_mode="ring"
             )
-            out = fn(q, k, v)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        )
+        out = fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
-            g = jax.jit(
-                jax.grad(
-                    lambda q, k, v: jnp.sum(
-                        multi_head_attention(
-                            q, k, v, impl=AttnImpl.FLASH, interpret=True
-                        )
-                        ** 2
-                    ),
-                    argnums=(0, 1, 2),
-                )
-            )(q, k, v)
-            g_ref = jax.grad(
+        g = jax.jit(
+            jax.grad(
                 lambda q, k, v: jnp.sum(
-                    einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5) ** 2
+                    multi_head_attention(
+                        q, k, v, impl=AttnImpl.FLASH, interpret=True,
+                        sp_mode="ring",
+                    )
+                    ** 2
                 ),
                 argnums=(0, 1, 2),
-            )(q, k, v)
-            for a, b in zip(g, g_ref):
-                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
-    finally:
-        A.SP_MODE = old
+            )
+        )(q, k, v)
+        g_ref = jax.grad(
+            lambda q, k, v: jnp.sum(
+                einsum_attention(q, k, v, sm_scale=q.shape[-1] ** -0.5) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_fused_backward_matches_two_kernel():

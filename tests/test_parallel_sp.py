@@ -215,8 +215,12 @@ def test_ring_attention_backward_saves_no_chunk_probs():
         q = jnp.ones((B, H, N, dh))
 
         def local(q):
-            out, res = _ring_fwd(q, q, q, "sp", None)
-            return [jnp.asarray(r.shape, jnp.int32) for r in res]
+            out, res = _ring_fwd(
+                q, q, q, jnp.zeros((), jnp.int32), "sp", 0.5, 0.0
+            )
+            # drop scalar residuals (the dropout seed); the guard is about
+            # sequence-shaped tensors
+            return [jnp.asarray(r.shape, jnp.int32) for r in res if r.ndim]
 
         return shard_map(
             local, mesh=mesh,
@@ -231,14 +235,39 @@ def test_ring_attention_backward_saves_no_chunk_probs():
 
 
 def test_mae_sp2_ring_mode_matches_single_device():
-    """sp_mode=ring through the full MAE model + config plumbing: set via
-    set_sp_mode (as build_task does from `parallelism.sp_mode`), sharded
-    loss must match single-device."""
-    from ucf_vit_tpu.ops.attention import set_sp_mode
+    """sp_mode=ring through the full MAE model + config plumbing: sp_mode is
+    a model field (as _common_kwargs sets from `parallelism.sp_mode`);
+    sharded loss must match single-device."""
+    model = _mae(AttnImpl.FLASH).clone(sp_mode="ring")
+    _run_pair(model, _mae_batch(), _mae_loss(model), (1, 2, 2, 2))
 
-    model = _mae(AttnImpl.FLASH)
-    set_sp_mode("ring")
-    try:
-        _run_pair(model, _mae_batch(), _mae_loss(model), (1, 2, 2, 2))
-    finally:
-        set_sp_mode("auto")
+
+def test_two_models_with_different_sp_modes_coexist():
+    """The round-4 wart: sp_mode was a process global, so a server and a
+    trainer in one process silently shared it. Now it rides the model: two
+    models with different modes produce their own (equal-value, differently
+    scheduled) results in one trace with no cross-talk."""
+    from ucf_vit_tpu.parallel import make_mesh
+    from ucf_vit_tpu.parallel.mesh import mesh_context
+
+    import numpy as np
+    from ucf_vit_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 4, 64, 16)), jnp.float32)
+        for _ in range(3)
+    )
+    ref = np.asarray(
+        multi_head_attention(q, k, v, impl=AttnImpl.EINSUM)
+    )
+    mesh = make_mesh(2, 1, 4, 1)  # ddp 2 x sp 4
+    with mesh_context(mesh):
+        ring = multi_head_attention(
+            q, k, v, impl=AttnImpl.FLASH, interpret=True, sp_mode="ring"
+        )
+        gather = multi_head_attention(
+            q, k, v, impl=AttnImpl.FLASH, interpret=True, sp_mode="gather"
+        )
+    np.testing.assert_allclose(np.asarray(ring), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gather), ref, atol=2e-5)

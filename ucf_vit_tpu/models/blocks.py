@@ -188,6 +188,9 @@ class Attention(nn.Module):
     # block-diagonal segment masking for sequence-packed batches (MAE
     # seq_pack): tokens attend only within their seg_len-sized segment
     seg_len: Optional[int] = None
+    # sequence-parallel attention strategy under sp > 1 (rides the model
+    # like attn_impl — no process-global state; ops/attention.py SP_MODES)
+    sp_mode: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -221,14 +224,15 @@ class Attention(nn.Module):
 
         # Attention-probability dropout (reference `attn_drop`, threaded into
         # every attention branch at `simple/building_blocks.py:163-187`).
-        # Dropping requires the materialized probability matrix, so the
-        # dispatcher routes AUTO to the EINSUM path and hard-errors on an
-        # explicit FLASH/XLA request — never a silent ignore.
+        # Runs inside the Pallas flash kernel at any sequence length (hash
+        # mask regenerated by the backward, ops/attn_dropout.py) and on the
+        # EINSUM path; an explicit XLA request with dropout hard-errors.
         drop_rate = 0.0 if deterministic else self.attn_drop
         drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
         out = multi_head_attention(
             q, k, v, impl=self.attn_impl, sm_scale=head_dim**-0.5,
             seg_len=self.seg_len, dropout_rate=drop_rate, dropout_rng=drop_rng,
+            sp_mode=self.sp_mode,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
 
@@ -254,6 +258,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     gelu_approx: bool = True
     seg_len: Optional[int] = None  # sequence-packing segment mask (see Attention)
+    sp_mode: str = "auto"  # sequence-parallel strategy (see Attention)
     # MoE (capability-plus, models/moe.py): > 1 replaces the dense MLP with
     # a top-k routed expert mixture sharded over the 'ep' mesh axis
     moe_num_experts: int = 0
@@ -273,6 +278,7 @@ class Block(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
             seg_len=self.seg_len,
+            sp_mode=self.sp_mode,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic)

@@ -97,6 +97,7 @@ class DiffusionVIT(VIT):
                 dim=self.decoder_embed_dim,
                 num_heads=self.decoder_num_heads,
                 attn_impl=self.attn_impl,
+                sp_mode=self.sp_mode,
                 mlp_ratio=self.mlp_ratio_decoder,
                 qkv_bias=self.qkv_bias,
                 qk_norm=self.qk_norm,

@@ -141,6 +141,10 @@ class VIT(nn.Module):
     single_channel: bool = False
     use_varemb: bool = False
     attn_impl: AttnImpl = AttnImpl.AUTO
+    # sequence-parallel attention strategy under sp > 1 (ops/attention.py
+    # SP_MODES); a model property like attn_impl so two models with
+    # different strategies coexist in one process (no module global)
+    sp_mode: str = "auto"
     use_adaptive_pos_emb: bool = False
     sqrt_len_method: bool = False
     remat: bool = False  # activation checkpointing on each Block
@@ -358,6 +362,7 @@ class VIT(nn.Module):
             dim=self.embed_dim,
             num_heads=self.num_heads,
             attn_impl=self.attn_impl,
+            sp_mode=self.sp_mode,
             mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias,
             qk_norm=self.qk_norm,

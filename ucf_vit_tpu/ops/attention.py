@@ -64,30 +64,17 @@ def _default_backend_is_tpu() -> bool:
 # spills VMEM and XLA materializes it in HBM (1.05 GB/layer measured).
 SHORT_SEQ_THRESHOLD = 1024
 
-# Sequence-parallel attention strategy under sp > 1 (config key
-# `parallelism.sp_mode`, plumbed via set_sp_mode from the trainer):
+# Sequence-parallel attention strategies under sp > 1 (config key
+# `parallelism.sp_mode`, threaded per-call as the `sp_mode` argument — it
+# rides the model object like attn_impl, so a trainer and a server with
+# different strategies coexist in one process; round 5 removed the former
+# process-global):
 #   "auto":    Ulysses a2a when local heads divide by sp, else KV-gather.
 #   "ulysses": force the a2a head<->seq swap (errors if heads don't divide).
 #   "ring":    ring attention (rotating KV chunks, O(N/sp) memory per chip
 #              in both directions — custom VJP recomputes chunk probs).
 #   "gather":  all-gather K/V along sp, queries stay sharded (O(N) keys).
 SP_MODES = ("auto", "ulysses", "ring", "gather")
-SP_MODE = "auto"
-
-
-def set_sp_mode(mode: str) -> None:
-    """Select the sequence-parallel attention strategy (process-wide; it is
-    a runtime execution strategy, not a model property — the same checkpoint
-    runs under any mode). Fills the reference's declared-but-empty SP slot
-    (`train_masked_fsdp.py:220`) with an actual product surface."""
-    global SP_MODE
-    mode = mode.lower()
-    assert mode in SP_MODES, f"sp_mode {mode!r} not in {SP_MODES}"
-    SP_MODE = mode
-
-
-def get_sp_mode() -> str:
-    return SP_MODE
 
 
 def resolve_impl(impl: AttnImpl | str, n_kv: int | None = None) -> AttnImpl:
@@ -191,7 +178,10 @@ def local_attention_only():
         _LOCAL_ONLY.flag = prev
 
 
-def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
+def _sharded_flash(
+    q, k, v, sm_scale, mesh, interpret=False, sp_mode="auto",
+    dropout_rate=0.0, dropout_seed=None,
+):
     """Flash attention under a mesh via shard_map.
 
     GSPMD cannot partition a pallas_call, so the kernel is wrapped in
@@ -201,9 +191,19 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     reference declares but never implements — `seq_par_size` asserted ==1,
     `train_masked_fsdp.py:220`): each sp shard holds N/sp query rows and
     all-gathers K/V along sp before the kernel (blockwise KV-gather SP).
-    """
+
+    Dropout under sharding: the hash mask is a function of (seed, bh, row,
+    col) in each shard's local frame, so shard indices that relabel the
+    SAME coordinates (batch over ddp/fsdp, heads over tp or the Ulysses
+    sp-split) are folded into the seed, while strategies where shards cover
+    DISJOINT global coordinates present those coordinates instead (KV-gather
+    passes its global row offset; ring passes global offsets per chunk and
+    keeps one seed across sp so the union of shard masks is a single global
+    Bernoulli draw)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from ucf_vit_tpu.ops.attn_dropout import fold_seed
 
     names = set(mesh.axis_names)
     batch_axes = tuple(a for a in ("ddp", "fsdp") if a in names) or None
@@ -218,39 +218,67 @@ def _sharded_flash(q, k, v, sm_scale, mesh, interpret=False):
     tp_size = mesh.shape.get("tp", 1) if tp else 1
     local_heads = q.shape[1] // tp_size
     divisible = local_heads % sp_size == 0
-    if SP_MODE == "ulysses":
+    assert sp_mode in SP_MODES, f"sp_mode {sp_mode!r} not in {SP_MODES}"
+    if sp_mode == "ulysses":
         assert divisible, (
             f"sp_mode=ulysses needs local heads ({local_heads}) divisible by "
             f"seq_par_size ({sp_size}); use sp_mode=ring or auto"
         )
     use_ulysses = (
         sp is not None
-        and SP_MODE in ("auto", "ulysses")
+        and sp_mode in ("auto", "ulysses")
         and divisible
     )
+    dropping = dropout_rate > 0.0
 
     def local_attn(q, k, v):
+        seed = dropout_seed
+        if dropping:
+            # replica-relabeled coordinates -> decorrelate via the seed
+            bh_axes = [a for a in ((batch_axes or ()) + ((tp,) if tp else ()))]
+            if bh_axes:
+                seed = fold_seed(
+                    seed, *[jax.lax.axis_index(a) for a in bh_axes]
+                )
         if sp is None:
-            return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
-        if SP_MODE == "ring":
+            return flash_attention(
+                q, k, v, sm_scale=sm_scale, dropout_rate=dropout_rate,
+                dropout_seed=seed, interpret=interpret,
+            )
+        if sp_mode == "ring":
             from ucf_vit_tpu.ops.ring_attention import ring_attention
 
-            return ring_attention(q, k, v, sp, sm_scale)
+            return ring_attention(
+                q, k, v, sp, sm_scale,
+                dropout_rate=dropout_rate, dropout_seed=seed,
+            )
         if use_ulysses:
             # Ulysses SP: a2a swaps head-sharding for seq-sharding, so each
             # shard computes full-sequence attention on H/(tp*sp) heads —
             # no KV duplication (DeepSpeed-Ulysses; the pattern the
             # reference's unused a2a collectives were staged for,
             # `dist_functions.py:617-677`).
+            if dropping:
+                # after the a2a each sp shard owns a disjoint head subset
+                seed = fold_seed(seed, jax.lax.axis_index(sp))
             q = jax.lax.all_to_all(q, sp, split_axis=1, concat_axis=2, tiled=True)
             k = jax.lax.all_to_all(k, sp, split_axis=1, concat_axis=2, tiled=True)
             v = jax.lax.all_to_all(v, sp, split_axis=1, concat_axis=2, tiled=True)
-            o = flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+            o = flash_attention(
+                q, k, v, sm_scale=sm_scale, dropout_rate=dropout_rate,
+                dropout_seed=seed, interpret=interpret,
+            )
             return jax.lax.all_to_all(o, sp, split_axis=2, concat_axis=1, tiled=True)
-        # fallback: gather K/V along sp, keep queries sharded
+        # fallback: gather K/V along sp, keep queries sharded — each shard
+        # owns global query rows [idx*Nq_local, ...), so the mask sees the
+        # true row coordinates rather than a folded seed
+        row0 = jax.lax.axis_index(sp) * q.shape[2] if dropping else 0
         k = jax.lax.all_gather(k, sp, axis=2, tiled=True)
         v = jax.lax.all_gather(v, sp, axis=2, tiled=True)
-        return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+        return flash_attention(
+            q, k, v, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            dropout_seed=seed, dropout_offset=(row0, 0), interpret=interpret,
+        )
 
     return shard_map(
         local_attn,
@@ -272,6 +300,7 @@ def multi_head_attention(
     seg_len: int | None = None,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    sp_mode: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch scaled-dot-product attention over [B, H, N, dh] inputs.
 
@@ -280,22 +309,31 @@ def multi_head_attention(
     sequences are short by construction, so AUTO lands on EINSUM.
 
     dropout_rate: attention-probability dropout (reference `attn_drop`,
-    `simple/building_blocks.py:163-187`). Only the EINSUM path materializes
-    the probability matrix, so AUTO routes to EINSUM when dropping; an
-    explicit FLASH/XLA request with dropout_rate > 0 is a hard error rather
-    than a silent no-op.
+    `simple/building_blocks.py:163-187`). Runs INSIDE the Pallas flash
+    kernel (hash-mask regeneration, ops/attn_dropout.py) and on the EINSUM
+    path (materialized bernoulli mask); the XLA path
+    (jax.nn.dot_product_attention) has no dropout parameter, so an explicit
+    XLA request with dropout_rate > 0 is a hard error rather than a silent
+    no-op, and AUTO resolving to XLA (non-TPU backend) falls back to EINSUM.
+
+    sp_mode: sequence-parallel strategy under an sp>1 mesh (see SP_MODES);
+    threaded from the model so concurrent models may differ.
     """
     resolved = resolve_impl(impl, n_kv=k.shape[2])
     if dropout_rate > 0.0:
         explicit = AttnImpl.from_string(impl) if isinstance(impl, str) else impl
-        if explicit in (AttnImpl.FLASH, AttnImpl.XLA):
+        if explicit == AttnImpl.XLA:
             raise ValueError(
-                f"attn_drop={dropout_rate} requires the EINSUM attention path "
-                f"(the probability matrix must be materialized to drop it); "
-                f"got explicit attn_impl={explicit.value}. Use attn_impl: AUTO "
-                f"or EINSUM, or set attn_drop_rate: 0."
+                f"attn_drop={dropout_rate} is not supported on the XLA "
+                f"attention path (jax.nn.dot_product_attention has no dropout "
+                f"parameter). Use attn_impl: AUTO, FLASH, or EINSUM, or set "
+                f"attn_drop_rate: 0."
             )
-        resolved = AttnImpl.EINSUM
+        if resolved == AttnImpl.XLA:
+            resolved = AttnImpl.EINSUM
+        assert dropout_rng is not None, (
+            "attention dropout_rate > 0 requires a dropout_rng"
+        )
     impl = resolved
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -320,14 +358,25 @@ def multi_head_attention(
         impl = AttnImpl.EINSUM
 
     if impl == AttnImpl.FLASH:
+        seed = None
+        if dropout_rate > 0.0:
+            from ucf_vit_tpu.ops.attn_dropout import seed_from_key
+
+            seed = seed_from_key(dropout_rng)
         mesh = _active_mesh()
         if (
             mesh is not None
             and len(mesh.devices.flat) > 1
             and not _local_only()
         ):
-            return _sharded_flash(q, k, v, sm_scale, mesh, interpret)
-        return flash_attention(q, k, v, sm_scale=sm_scale, interpret=interpret)
+            return _sharded_flash(
+                q, k, v, sm_scale, mesh, interpret, sp_mode,
+                dropout_rate, seed,
+            )
+        return flash_attention(
+            q, k, v, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            dropout_seed=seed, interpret=interpret,
+        )
     if impl == AttnImpl.XLA:
         mask = None
         if seg_len is not None:

@@ -24,6 +24,15 @@ Design (see the classic flash-attention tiling):
   fit VMEM (very long sequences), falls back to the two-kernel path: dkv
   (iterates q blocks per kv block) and dq (iterates kv blocks per q block).
   Both share the standard residuals (o, lse) plus di = rowsum(do * o).
+- Attention-probability dropout (reference `attn_drop` inside its fused
+  xformers kernels, `simple/building_blocks.py:163-174`) runs INSIDE both
+  directions: the keep mask is a stateless hash of global (row, col,
+  batch-head) coordinates (ops/attn_dropout.py), regenerated — never stored —
+  by the backward, which may therefore tile differently than the forward.
+  Forward drops the unnormalized probabilities AFTER the normalizer update
+  (dropout commutes with the final 1/l scaling), so `lse` stays the
+  pre-dropout softmax normalizer and di = rowsum(do * o) remains the correct
+  softmax-jacobian row term (o is bilinear in the dropped probs).
 """
 
 from __future__ import annotations
@@ -35,6 +44,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ucf_vit_tpu.ops.attn_dropout import keep_mask
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 MIN_BLOCK = 128
@@ -58,6 +69,7 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
+    meta_ref,
     o_ref,
     lse_ref,
     m_scr,
@@ -66,8 +78,10 @@ def _fwd_kernel(
     *,
     sm_scale: float,
     kv_len: int,
+    block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    dropout_rate: float,
 ):
     kv_idx = pl.program_id(2)
 
@@ -107,6 +121,20 @@ def _fwd_kernel(
     m_scr[...] = m_next
     l_scr[...] = l_next
 
+    if dropout_rate > 0.0:
+        # Drop AFTER the l update: l stays the pre-dropout normalizer, so the
+        # final acc/l equals dropout(softmax) @ v (dropout scaling commutes
+        # with the row-wise division) and lse stays exact for the backward.
+        z = keep_mask(
+            meta_ref[0],
+            pl.program_id(0),
+            meta_ref[1] + pl.program_id(1) * block_q,
+            meta_ref[2] + kv_idx * block_k,
+            p.shape,
+            dropout_rate,
+        )
+        p = jnp.where(z, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+
     v = v_ref[0]  # [block_k, dh]
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -138,6 +166,7 @@ def _bwd_dkv_kernel(
     do_ref,
     lse_ref,
     di_ref,
+    meta_ref,
     dk_ref,
     dv_ref,
     dk_scr,
@@ -145,8 +174,10 @@ def _bwd_dkv_kernel(
     *,
     sm_scale: float,
     kv_len: int,
+    block_q: int,
     block_k: int,
     num_q_blocks: int,
+    dropout_rate: float,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(1)
@@ -171,18 +202,36 @@ def _bwd_dkv_kernel(
     if kv_len % block_k != 0:
         col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
-    p = jnp.exp(s - lse)  # [block_q, block_k]
+    p = jnp.exp(s - lse)  # [block_q, block_k] (pre-dropout probabilities)
 
-    # dv += p^T @ do
+    if dropout_rate > 0.0:
+        # regenerate the forward's keep mask from global coordinates
+        z = keep_mask(
+            meta_ref[0],
+            pl.program_id(0),
+            meta_ref[1] + q_idx * block_q,
+            meta_ref[2] + kv_idx * block_k,
+            p.shape,
+            dropout_rate,
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(z, p * inv_keep, 0.0)  # post-dropout probs
+    else:
+        p_v = p
+
+    # dv += dropout(p)^T @ do
     dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+    # dp = do @ v^T (grad wrt dropped probs); chain through dropout, then
+    # softmax: ds = p * (dp - di) * sm_scale
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        dp = jnp.where(z, dp * inv_keep, 0.0)
     ds = p * (dp - di) * sm_scale  # [block_q, block_k]
 
     # dk += ds^T @ q
@@ -204,6 +253,7 @@ def _bwd_fused_kernel(
     do_ref,
     lse_ref,
     di_ref,
+    meta_ref,
     dk_ref,
     dv_ref,
     dq_ref,
@@ -217,6 +267,7 @@ def _bwd_fused_kernel(
     block_k: int,
     num_q_blocks: int,
     num_kv_blocks: int,
+    dropout_rate: float,
 ):
     """Single-pass backward: dq + dk + dv from one p/ds recompute.
 
@@ -249,18 +300,34 @@ def _bwd_fused_kernel(
     if kv_len % block_k != 0:
         col_ids = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col_ids < kv_len, s, DEFAULT_MASK_VALUE)
-    p = jnp.exp(s - lse)  # [block_q, block_k]
+    p = jnp.exp(s - lse)  # [block_q, block_k] (pre-dropout probabilities)
 
-    # dv += p^T @ do
+    if dropout_rate > 0.0:
+        z = keep_mask(
+            meta_ref[0],
+            pl.program_id(0),
+            meta_ref[1] + q_idx * block_q,
+            meta_ref[2] + kv_idx * block_k,
+            p.shape,
+            dropout_rate,
+        )
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(z, p * inv_keep, 0.0)
+    else:
+        p_v = p
+
+    # dv += dropout(p)^T @ do
     dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    # dp = do @ v^T ; ds = p * (dp - di) * sm_scale
+    # dp = do @ v^T ; chain through dropout; ds = p * (dp - di) * sm_scale
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        dp = jnp.where(z, dp * inv_keep, 0.0)
     ds = p * (dp - di) * sm_scale  # [block_q, block_k]
 
     # dk += ds^T @ q
@@ -299,13 +366,16 @@ def _bwd_dq_kernel(
     do_ref,
     lse_ref,
     di_ref,
+    meta_ref,
     dq_ref,
     dq_scr,
     *,
     sm_scale: float,
     kv_len: int,
+    block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    dropout_rate: float,
 ):
     kv_idx = pl.program_id(2)
 
@@ -333,6 +403,16 @@ def _bwd_dq_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        z = keep_mask(
+            meta_ref[0],
+            pl.program_id(0),
+            meta_ref[1] + pl.program_id(1) * block_q,
+            meta_ref[2] + kv_idx * block_k,
+            p.shape,
+            dropout_rate,
+        )
+        dp = jnp.where(z, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - di) * sm_scale
 
     dq_scr[...] += jax.lax.dot_general(
@@ -358,17 +438,40 @@ def flash_attention(
     sm_scale: float | None = None,
     block_q: int | None = None,
     block_k: int = DEFAULT_BLOCK_K,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    dropout_offset: tuple = (0, 0),
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, N, dh] (or [B, H, Nq, dh] x [B, H, Nkv, dh]).
 
     Pads sequence lengths to block multiples internally; padded keys are
     masked, padded query rows are sliced away. Returns [B, H, Nq, dh].
+
+    dropout_rate: attention-probability dropout INSIDE the kernel (reference
+    `attn_drop` through xformers, `simple/building_blocks.py:163-174`).
+    dropout_seed: int32 scalar (traced ok) — required when dropping.
+    dropout_offset: (row0, col0) global-coordinate origin of this call's
+    q/kv tiles — lets a sequence-parallel caller (KV-gather SP) present each
+    shard's true position so the combined mask is one global Bernoulli draw.
     """
     b, h, n_q, dh = q.shape
     n_kv = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(dh)
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        assert dropout_rate < 1.0, f"dropout_rate {dropout_rate} must be < 1"
+        assert dropout_seed is not None, "dropout_rate > 0 needs dropout_seed"
+        meta = jnp.stack(
+            [
+                jnp.asarray(dropout_seed, jnp.int32).reshape(()),
+                jnp.asarray(dropout_offset[0], jnp.int32).reshape(()),
+                jnp.asarray(dropout_offset[1], jnp.int32).reshape(()),
+            ]
+        )
+    else:
+        meta = jnp.zeros((3,), jnp.int32)
 
     if block_q is None:
         # None = auto (an EXPLICIT block_q is always honored, so the block
@@ -394,33 +497,53 @@ def flash_attention(
 
     # The kernels mask key columns >= the true kv length; bake the true length
     # in before padding so the mask constant is correct.
-    out = _flash_len_cache(n_kv, interpret)(qf, kf, vf, sm_scale, block_q, block_k)
+    out = _flash_len_cache(n_kv, interpret, dropout_rate)(
+        qf, kf, vf, meta, sm_scale, block_q, block_k
+    )
     out = out[:, :n_q]
     return out.reshape(b, h, n_q, dh)
 
 
+def _meta_cotangent(meta):
+    import numpy as np
+
+    return np.zeros(meta.shape, jax.dtypes.float0)
+
+
 @functools.lru_cache(maxsize=None)
-def _flash_len_cache(kv_len: int, interpret: bool = False):
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-    def fn(q, k, v, sm_scale, block_q, block_k):
-        out, _ = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret)
+def _flash_len_cache(kv_len: int, interpret: bool = False, dropout_rate: float = 0.0):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+    def fn(q, k, v, meta, sm_scale, block_q, block_k):
+        out, _ = _flash_fwd_len(
+            q, k, v, meta, kv_len, sm_scale, block_q, block_k, dropout_rate, interpret
+        )
         return out
 
-    def fn_fwd(q, k, v, sm_scale, block_q, block_k):
-        out, lse = _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret)
-        return out, (q, k, v, out, lse)
+    def fn_fwd(q, k, v, meta, sm_scale, block_q, block_k):
+        out, lse = _flash_fwd_len(
+            q, k, v, meta, kv_len, sm_scale, block_q, block_k, dropout_rate, interpret
+        )
+        return out, (q, k, v, out, lse, meta)
 
     def fn_bwd(sm_scale, block_q, block_k, res, do):
-        q, k, v, out, lse = res
-        return _flash_bwd_len(
-            q, k, v, out, lse, do, kv_len, sm_scale, block_q, block_k, interpret
+        q, k, v, out, lse, meta = res
+        dq, dk, dv = _flash_bwd_len(
+            q, k, v, out, lse, do, meta, kv_len, sm_scale, block_q, block_k,
+            dropout_rate, interpret,
         )
+        return dq, dk, dv, _meta_cotangent(meta)
 
     fn.defvjp(fn_fwd, fn_bwd)
     return fn
 
 
-def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False):
+_META_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _flash_fwd_len(
+    q, k, v, meta, kv_len, sm_scale, block_q, block_k, dropout_rate=0.0,
+    interpret=False,
+):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
     num_q_blocks = n_q // block_q
@@ -430,8 +553,10 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False)
         _fwd_kernel,
         sm_scale=sm_scale,
         kv_len=kv_len,
+        block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
+        dropout_rate=dropout_rate,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -440,6 +565,7 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False)
             pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, dh), lambda b, i, j: (b, j, 0)),
+            _META_SPEC,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
@@ -458,7 +584,7 @@ def _flash_fwd_len(q, k, v, kv_len, sm_scale, block_q, block_k, interpret=False)
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, meta)
     return out, lse
 
 
@@ -522,7 +648,10 @@ def _bwd_block_k(
     return block_k
 
 
-def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, interpret=False):
+def _flash_bwd_len(
+    q, k, v, o, lse, do, meta, kv_len, sm_scale, block_q, block_k,
+    dropout_rate=0.0, interpret=False,
+):
     bh, n_q, dh = q.shape
     _, n_kv_pad, _ = k.shape
     fused = _dq_scratch_bytes(n_q, dh) <= FUSED_BWD_DQ_SCRATCH_BYTES
@@ -542,6 +671,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
             block_k=block_k,
             num_q_blocks=num_q_blocks,
             num_kv_blocks=num_kv_blocks,
+            dropout_rate=dropout_rate,
         )
         dk, dv, dq = pl.pallas_call(
             fused_kernel,
@@ -553,6 +683,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
                 pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
                 pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
                 pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+                _META_SPEC,
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
@@ -573,15 +704,17 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
                 dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             ),
             interpret=interpret,
-        )(q, k, v, do, lse, di)
+        )(q, k, v, do, lse, di, meta)
         return dq, dk, dv
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         sm_scale=sm_scale,
         kv_len=kv_len,
+        block_q=block_q,
         block_k=block_k,
         num_q_blocks=num_q_blocks,
+        dropout_rate=dropout_rate,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -593,6 +726,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
             pl.BlockSpec((1, block_q, dh), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, NUM_LANES), lambda b, j, i: (b, i, 0)),
+            _META_SPEC,
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dh), lambda b, j, i: (b, j, 0)),
@@ -610,14 +744,16 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse, di, meta)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         sm_scale=sm_scale,
         kv_len=kv_len,
+        block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
+        dropout_rate=dropout_rate,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -629,6 +765,7 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
             pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, NUM_LANES), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, NUM_LANES), lambda b, i, j: (b, i, 0)),
+            _META_SPEC,
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_q, dh), q.dtype),
@@ -637,6 +774,6 @@ def _flash_bwd_len(q, k, v, o, lse, do, kv_len, sm_scale, block_q, block_k, inte
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse, di, meta)
 
     return dq, dk, dv

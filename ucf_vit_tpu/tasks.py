@@ -73,6 +73,9 @@ def _common_kwargs(cfg: Config) -> dict:
         use_adaptive_pos_emb=bool(ia.get("use_adaptive_pos_emb", False))
         and cfg.adaptive_patching,
         attn_impl=_attn_impl(cfg),
+        # sp_mode rides the model (not a process global) so a trainer and a
+        # server with different strategies coexist in one process
+        sp_mode=str(cfg.parallelism.get("sp_mode", "auto")).lower(),
         # tanh-approx GELU by default (TPU perf); init_args.gelu_approx: false
         # restores the reference's exact erf (torch nn.GELU) numerics
         gelu_approx=bool(ia.get("gelu_approx", True)),
@@ -364,10 +367,4 @@ TASKS: Dict[str, Callable] = {
 
 
 def build_task(cfg: Config):
-    # sp_mode is a runtime attention strategy, not a model property: set it
-    # process-wide from the config here, the single point every entry path
-    # (trainer, inference, graft entry) funnels through.
-    from ucf_vit_tpu.ops.attention import set_sp_mode
-
-    set_sp_mode(str(cfg.parallelism.get("sp_mode", "auto")))
     return TASKS[cfg.task](cfg)
