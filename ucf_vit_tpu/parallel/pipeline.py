@@ -32,6 +32,7 @@ Bubble accounting: each of the S stages is idle for (S-1) of the
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -40,6 +41,37 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ucf_vit_tpu.parallel.mesh import AXIS_PP, AXIS_SP, DATA_AXES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _enter_varying(x, axis: str):
+    """pp-invariant -> pp-varying entry point with a bf16-safe transpose.
+
+    The transpose of `pcast(to="varying")` is a psum_invariant of the
+    cotangent over pp. jax's shardy lowering roots that reducer with a
+    Sharding custom-call which the SPMD partitioner rewrites to a `copy`;
+    XLA's bf16 float-normalization then rebuilds the reducer from the root
+    opcode and CHECK-fails on kCopy ("Invalid binary instruction opcode
+    copy"). Round 4 dodged this by keeping every schedule-held buffer f32 —
+    2x bytes on the full input and its saved-for-backward copies. This
+    custom VJP keeps the buffers in the model dtype and pays f32 only
+    transiently inside the backward collective: cast the cotangent up, psum
+    in f32 (never bf16-reduced, so never rewritten), cast back down.
+    (tests/test_parallel_pp.py::test_pp_bf16_compiles guards the crash;
+    the grads==no-pp tests guard the numerics.)"""
+    return lax.pcast(x, (axis,), to="varying")
+
+
+def _enter_varying_fwd(x, axis):
+    return _enter_varying(x, axis), None
+
+
+def _enter_varying_bwd(axis, _, g):
+    g32 = lax.psum(g.astype(jnp.float32), axis)
+    return (g32.astype(g.dtype),)
+
+
+_enter_varying.defvjp(_enter_varying_fwd, _enter_varying_bwd)
 
 
 def _batch_group(mesh, mb: int) -> tuple:
@@ -151,18 +183,15 @@ def pipeline_blocks(
     # capacity is per-sample (models/moe.py). The inverse swap below puts
     # outputs back in input order.
     xm = jnp.swapaxes(x.reshape((b // m, m) + x.shape[1:]), 0, 1)
-    # bf16 must not cross this shard_map's psum boundaries: jax's shardy
-    # lowering roots every psum/psum_invariant reducer with a Sharding
-    # custom-call, which the SPMD partitioner rewrites to a `copy`; XLA's
-    # bf16 float-normalization then rebuilds the reducer via
-    # CreateBinary(root opcode) and CHECK-fails on kCopy ("Invalid binary
-    # instruction opcode copy"). f32 reducers are never rewritten, so the
-    # boundary input (whose backward is a psum_invariant over pp) and the
-    # end-of-schedule psums run in f32; everything in between — stage
-    # compute, ppermute hops — keeps the model dtype.
-    # (tests/test_parallel_pp.py::test_pp_bf16_compiles guards this.)
+    # Every schedule-held buffer stays in the model dtype. bf16 values still
+    # must not reach a psum REDUCER (the XLA bf16-normalization CHECK-fail,
+    # see _enter_varying): the invariant->varying entry runs through the
+    # custom VJP above (f32 only transiently inside its backward psum), and
+    # the end-of-schedule publishing psums cast f32 around the collective
+    # (_psum_f32). Round 4 instead held the full input f32 for the whole
+    # schedule — 2x bytes on exactly the largest tensors (measured on
+    # vit_l_pp: tools/memory_report.py, BASELINE.md round-5 pp-memory row).
     io_dtype = xm.dtype
-    xm_io = xm.astype(jnp.float32) if io_dtype == jnp.bfloat16 else xm
     # One explicit layout for every schedule-held activation, inside and
     # out: microbatch-INDEX dims replicated, the batch dim over the largest
     # dividing data-axes subset, seq over sp. Without this the batch enters
@@ -189,18 +218,17 @@ def pipeline_blocks(
             dims += [None] * tail
         return P(*dims)
 
-    xm_io = lax.with_sharding_constraint(
-        xm_io, jax.sharding.NamedSharding(mesh, _sched_spec(xm_io, 1))
+    xm = lax.with_sharding_constraint(
+        xm, jax.sharding.NamedSharding(mesh, _sched_spec(xm, 1))
     )
 
     def _psum_f32(v):
         return lax.psum(v.astype(jnp.float32), axis).astype(v.dtype)
 
     def schedule(local_params, xm):
-        # NOTE: xm stays f32 until after the stage-0 select below — the
-        # select is where the invariant input is implicitly pcast to
-        # pp-varying, and that pcast's transpose is the psum_invariant whose
-        # reducer must not be bf16 (see the boundary note above)
+        # the invariant input enters the varying world ONCE, through the
+        # bf16-safe custom-VJP boundary (see _enter_varying)
+        xm = _enter_varying(xm, axis)
         stage = lax.axis_index(axis)
         ticks = m + s - 1
 
@@ -221,13 +249,10 @@ def pipeline_blocks(
             return c, ys, jnp.sum(auxs)
 
         # carries start stage-invariant (zeros) but become stage-varying:
-        # declare that to jax's varying-mesh-axes tracking up front. The
-        # pcast itself happens on f32 zeros (cast to the model dtype after):
-        # its TRANSPOSE is a psum_invariant of the cotangent, which must not
-        # be bf16 for the same reducer reason as the boundary note above.
+        # declare that to jax's varying-mesh-axes tracking up front, through
+        # the same bf16-safe boundary as the input.
         def _varying_zeros(shape):
-            z = lax.pcast(jnp.zeros(shape, jnp.float32), (axis,), to="varying")
-            return z.astype(io_dtype)
+            return _enter_varying(jnp.zeros(shape, io_dtype), axis)
 
         buf = _c(_varying_zeros(xm.shape), 1)
         carry = _c(_varying_zeros(xm.shape[1:]), 0)
@@ -241,12 +266,7 @@ def pipeline_blocks(
             inp0 = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, m - 1), 0, keepdims=False
             )
-            x_in = _c(
-                jnp.where(
-                    stage == 0, inp0, carry.astype(jnp.float32)
-                ).astype(io_dtype),
-                0,
-            )
+            x_in = _c(jnp.where(stage == 0, inp0, carry), 0)
             y, ys, aux = jax.checkpoint(stage_apply)(x_in)
             nxt = _c(
                 lax.ppermute(y, axis, [(i, i + 1) for i in range(s - 1)]), 0
@@ -300,7 +320,7 @@ def pipeline_blocks(
             in_specs=(P(axis), P()),
             out_specs=(P(), P(), P()),
             axis_names={axis},
-        )(stacked_params, xm_io)
+        )(stacked_params, xm)
     # invert the strided split: [m(j), b/m(i), ...] -> [i, j, ...] -> [b]
     y = jnp.swapaxes(ym, 0, 1).reshape(x.shape)
     if k_taps:

@@ -14,6 +14,14 @@ Capability-plus: the reference has no memory tooling (its OOM guidance is
 Usage:
   python -m ucf_vit_tpu.tools.memory_report <config.yaml> [--batch N ...]
          [--hbm-gb 16] [--no-donate] [--json]
+  python -m ucf_vit_tpu.tools.memory_report <config.yaml> --sharded [--json]
+
+--sharded compiles the config's FULL sharded train step on a virtual CPU
+mesh of exactly the device count `parallelism:` asks for (the same shared
+harness the config-compile CI guard uses, tools/compile_harness.py) and
+reports that executable's per-participant buffer assignment — the mode that
+answers pipeline/FSDP memory questions, e.g. the round-5 GPipe-buffer-dtype
+measurement (BASELINE.md pp-memory row).
 """
 
 from __future__ import annotations
@@ -139,6 +147,26 @@ def analyze(cfg, batch: Optional[int] = None, donate: bool = True) -> dict:
     return report
 
 
+def analyze_sharded(cfg) -> dict:
+    """Compile the FULL sharded train step (virtual mesh sized from the
+    config's `parallelism:`) and report its buffer assignment. The caller
+    must have pointed jax at enough devices (main does, via
+    force_virtual_cpu); batch is the true global batch, per the harness."""
+    from ucf_vit_tpu.tools.compile_harness import compile_sharded_train_step
+
+    compiled, mesh = compile_sharded_train_step(cfg)
+    ma = compiled.memory_analysis()
+    return {
+        "mesh": dict(mesh.shape),
+        "global_batch": cfg.batch_size * cfg.data_par_size,
+        "argument_bytes": int(ma.argument_size_in_bytes),
+        "output_bytes": int(ma.output_size_in_bytes),
+        "temp_bytes": int(ma.temp_size_in_bytes),
+        "peak_hbm_bytes": int(ma.peak_memory_in_bytes),
+        "code_bytes": int(ma.generated_code_size_in_bytes),
+    }
+
+
 def print_report(rep: dict, hbm_gb: float):
     hbm = int(hbm_gb * (1 << 30))
     if rep.get("compile_oom"):
@@ -181,6 +209,9 @@ def main(argv=None):
                         help="what-if: trainer.data_type bfloat16")
     parser.add_argument("--accum", type=int, default=None,
                         help="what-if: trainer.accum_steps N")
+    parser.add_argument("--sharded", action="store_true",
+                        help="compile the full sharded step on a virtual "
+                             "mesh sized from parallelism: and report it")
     parser.add_argument("--json", action="store_true", dest="as_json")
     args = parser.parse_args(argv)
 
@@ -193,6 +224,22 @@ def main(argv=None):
         cfg.raw["trainer"]["data_type"] = "bfloat16"
     if args.accum is not None:
         cfg.raw["trainer"]["accum_steps"] = int(args.accum)
+    if args.sharded:
+        from ucf_vit_tpu.tools.compile_harness import (
+            config_world, force_virtual_cpu,
+        )
+
+        force_virtual_cpu(config_world(cfg.raw.get("parallelism", {})))
+        rep = analyze_sharded(cfg)
+        if args.as_json:
+            print(json.dumps(rep))
+        else:
+            print(
+                f"mesh {rep['mesh']} global batch {rep['global_batch']}: "
+                f"peak {_fmt(rep['peak_hbm_bytes'])} = args "
+                f"{_fmt(rep['argument_bytes'])} + temp {_fmt(rep['temp_bytes'])}"
+            )
+        return
     for b in (args.batch or [None]):
         rep = analyze(cfg, batch=b, donate=not args.no_donate)
         if args.as_json:
