@@ -182,21 +182,19 @@ def test_mae_random_masking_matches_reference_given_noise():
     )
 
 
-def test_sap_adaptive_matches_reference():
-    """SAP sqrt-len path vs the actual reference module: conv patch embed on
-    the reassembled pseudo-image, AdaptivePosMLP positional embedding,
-    ConvTranspose neck + 1x1 mask head (`simple/arch.py:491-536`)."""
-    sqrt_len, p = 4, 8
+def _sap_pair(sqrt_len=4, p=8, num_classes=3, depth=2):
+    """SAP sqrt-len transplant pair: (model, params, tm, x, seq_ps).
+    Shared by the forward-parity test and the training-curve test."""
     side = sqrt_len * p
     kw = dict(
         img_size=(side, side), patch_size=p, in_chans=1, embed_dim=32,
-        depth=2, num_heads=4, class_token=False,
+        depth=depth, num_heads=4, class_token=False,
         adaptive_patching=True, use_adaptive_pos_emb=True,
     )
     model = SAP(
-        num_classes=3, default_vars=("ct",), fixed_length=sqrt_len**2,
-        sqrt_len_method=True, attn_impl=AttnImpl.EINSUM, gelu_approx=False,
-        **kw,
+        num_classes=num_classes, default_vars=("ct",),
+        fixed_length=sqrt_len**2, sqrt_len_method=True,
+        attn_impl=AttnImpl.EINSUM, gelu_approx=False, **kw,
     )
     rng = np.random.default_rng(2)
     x = rng.normal(size=(2, 1, side, side)).astype(np.float32)
@@ -206,8 +204,9 @@ def test_sap_adaptive_matches_reference():
     )["params"]
 
     tm = ref_arch.SAP(
-        num_classes=3, default_vars=["ct"], fixed_length=sqrt_len**2,
-        sqrt_len=sqrt_len, sqrt_len_method=True, **kw,
+        num_classes=num_classes, default_vars=["ct"],
+        fixed_length=sqrt_len**2, sqrt_len=sqrt_len, sqrt_len_method=True,
+        **kw,
     )
     tm.eval()
     with torch.no_grad():
@@ -234,6 +233,15 @@ def test_sap_adaptive_matches_reference():
         tm.mask_header[0].bias.data.copy_(
             torch.from_numpy(_np(params["mask_header"]["bias"]))
         )
+    return model, params, tm, x, seq_ps
+
+
+def test_sap_adaptive_matches_reference():
+    """SAP sqrt-len path vs the actual reference module: conv patch embed on
+    the reassembled pseudo-image, AdaptivePosMLP positional embedding,
+    ConvTranspose neck + 1x1 mask head (`simple/arch.py:491-536`)."""
+    model, params, tm, x, seq_ps = _sap_pair()
+    with torch.no_grad():
         want = tm(
             torch.from_numpy(x), ("ct",), seq_ps=torch.from_numpy(seq_ps)
         ).numpy()
@@ -364,10 +372,11 @@ def test_unetr_noskip_matches_reference():
 # ---------------------------------------------------------------------------
 
 
-def test_diffusion_vit_matches_reference():
-    """Time-embedding (sinusoidal table -> EmbeddingDenseLayer) + encoder +
-    transformer decoder (`simple/arch.py:1115-1283`). The reference's
-    `self._pos_embed(x)` call (`:1261`) is missing the seq_ps argument —
+def _diffusion_pair(time_steps=50):
+    """DiffusionVIT transplant pair: (model, params, tm). Shared by the
+    forward-parity test and the training-curve test. Applies the 2-line
+    arity fix for reference quirk #3 (SURVEY.md): `_pos_embed` takes
+    (x, seq_ps) but DiffusionVIT.forward_features calls `_pos_embed(x)` —
     un-runnable as written; the evident intent (seq_ps=None) is restored
     with an instance-level shim so the reference code itself is the oracle
     for everything else."""
@@ -378,7 +387,7 @@ def test_diffusion_vit_matches_reference():
     dec = dict(decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=4,
                mlp_ratio_decoder=4.0)
     model = DiffusionVIT(
-        class_token=False, default_vars=("r", "g", "b"), time_steps=50,
+        class_token=False, default_vars=("r", "g", "b"), time_steps=time_steps,
         linear_decoder=False, attn_impl=AttnImpl.EINSUM, gelu_approx=False,
         **dec, **CFG,
     )
@@ -390,11 +399,9 @@ def test_diffusion_vit_matches_reference():
     )["params"]
 
     tm = ref_arch.DiffusionVIT(
-        class_token=False, default_vars=["r", "g", "b"], time_steps=50,
+        class_token=False, default_vars=["r", "g", "b"], time_steps=time_steps,
         linear_decoder=False, weight_init="skip", **dec, **CFG,
     )
-    # 2-line arity fix for reference quirk #3 (SURVEY.md): _pos_embed takes
-    # (x, seq_ps) but DiffusionVIT.forward_features calls _pos_embed(x)
     tm._pos_embed = types.MethodType(
         lambda self, xx: ref_arch.VIT._pos_embed(self, xx, None), tm
     )
@@ -421,6 +428,17 @@ def test_diffusion_vit_matches_reference():
         _copy_block(tm.decoder_blocks[0], params["decoder_blocks_0"])
         _copy_ln(tm.decoder_norm, params["decoder_norm"])
         _copy_linear(tm.decoder_pred, params["decoder_pred"])
+    return model, params, tm
+
+
+def test_diffusion_vit_matches_reference():
+    """Time-embedding (sinusoidal table -> EmbeddingDenseLayer) + encoder +
+    transformer decoder (`simple/arch.py:1115-1283`)."""
+    model, params, tm = _diffusion_pair()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    t = np.asarray([3, 40], np.int64)
+    with torch.no_grad():
         want = tm(
             torch.from_numpy(x), torch.from_numpy(t), ("r", "g", "b")
         ).numpy()

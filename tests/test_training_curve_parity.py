@@ -249,3 +249,289 @@ def test_mae_training_curve_matches_reference():
     # measured: 0.637 -> 0.563 (0.88x) over the 50 steps; bar at 0.95x only
     # rejects a curve that did not move at all
     assert ours[-1] < 0.95 * ours[0], f"degenerate curve: {ours[0]} -> {ours[-1]}"
+
+
+def _ref_optimizer(tm):
+    """The reference's configure_optimizer grouping (utils/misc.py:58-84) +
+    LinearWarmupCosineAnnealingLR, as built inline by both r4 curve tests."""
+    decay, no_decay = [], []
+    for name, m in tm.named_parameters():
+        (
+            no_decay
+            if (
+                "var_embed" in name
+                or "pos_embed" in name
+                or "time_pos_embed" in name
+            )
+            else decay
+        ).append(m)
+    topt = torch.optim.AdamW(
+        [
+            {"params": decay, "lr": LR, "betas": (B1, B2), "weight_decay": WD},
+            {"params": no_decay, "lr": LR, "betas": (B1, B2), "weight_decay": 0},
+        ]
+    )
+    tsched = LinearWarmupCosineAnnealingLR(topt, WARM, N_STEPS, WSTART, ETA)
+    return topt, tsched
+
+
+def _run_curves(step_ours, step_theirs, n=N_STEPS, tol=1e-4, moved=0.95):
+    ours, theirs = [], []
+    for i in range(n):
+        ours.append(float(step_ours(i)))
+    for i in range(n):
+        theirs.append(float(step_theirs(i)))
+    diff = np.abs(np.asarray(ours) - np.asarray(theirs))
+    assert diff.max() < tol, (
+        f"training curves diverged: max per-step diff {diff.max():.2e} at "
+        f"step {int(diff.argmax())}\nours:   {ours[:5]}...\ntheirs: {theirs[:5]}..."
+    )
+    assert ours[-1] < moved * ours[0], (
+        f"degenerate curve: {ours[0]} -> {ours[-1]}"
+    )
+    return ours, theirs
+
+
+@pytest.mark.slow
+def test_unetr_training_curve_matches_reference():
+    """UNETR under its script's loss (DiceCELoss(to_onehot_y=True,
+    softmax=True, squared_pred=True, smooth_nr=0.0, smooth_dr=1e-6),
+    `train_unetr_simple.py:34-40`). monai is not in this image, so the torch
+    side carries a from-the-definition reimplementation of exactly those
+    MONAI semantics (~15 lines below); the jax side is the shipped
+    `utils.metrics.dice_ce_loss`. The curves agreeing per-step proves the
+    conv-decoder model + grads + optimizer + schedule dynamics match under
+    the task loss from transplanted-identical init."""
+    import torch.nn.functional as torchF
+
+    from tests.test_reference_parity import _unetr_pair
+    from ucf_vit_tpu.utils.metrics import dice_ce_loss
+
+    ncls = 3
+    model, params, tm, _ = _unetr_pair(img=32, patch=16, skip=True, ndim=2)
+    rng = np.random.default_rng(7)
+    # blobby labels correlated with the input so there is signal to learn
+    batches = []
+    for _ in range(10):
+        x = rng.normal(size=(2, 1, 32, 32)).astype(np.float32)
+        lab = np.clip(
+            np.floor((x[:, 0] - x.min()) / (x.max() - x.min()) * ncls), 0,
+            ncls - 1,
+        ).astype(np.int32)[:, None]
+        batches.append((x, lab))
+
+    tx = configure_optimizer(
+        params, lr=LR, beta_1=B1, beta_2=B2, weight_decay=WD,
+        warmup_steps=WARM, max_steps=N_STEPS,
+        warmup_start_lr=WSTART, eta_min=ETA,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, lab):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x)
+            return dice_ce_loss(logits, lab, ncls)
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, u), opt_state, l
+
+    state = {"p": params, "o": opt_state}
+
+    def ours(i):
+        x, lab = batches[i % len(batches)]
+        state["p"], state["o"], l = step(
+            state["p"], state["o"], jnp.asarray(x), jnp.asarray(lab)
+        )
+        return l
+
+    tm.train()
+    topt, tsched = _ref_optimizer(tm)
+
+    def ref_dice_ce(output, label):
+        # MONAI DiceCELoss(to_onehot_y, softmax, squared_pred, smooth_nr=0,
+        # smooth_dr=1e-6, include_background, reduction=mean), from the
+        # definition: dice per (batch, class) over spatial + standard CE
+        lab = label.squeeze(1).long()
+        ce = nn.CrossEntropyLoss()(output, lab)
+        p = torch.softmax(output, dim=1)
+        oh = torchF.one_hot(lab, ncls).permute(0, 3, 1, 2).float()
+        dims = (2, 3)
+        inter = (p * oh).sum(dims)
+        denom = (p**2).sum(dims) + (oh**2).sum(dims)
+        dice = 1.0 - (2.0 * inter + 0.0) / (denom + 1e-6)
+        return ce + dice.mean()
+
+    def theirs(i):
+        x, lab = batches[i % len(batches)]
+        topt.zero_grad()
+        out = tm(torch.from_numpy(x), ("ct",))
+        loss = ref_dice_ce(out, torch.from_numpy(lab))
+        loss.backward()
+        topt.step()
+        tsched.step()
+        return float(loss.detach())
+
+    _run_curves(ours, theirs)
+
+
+@pytest.mark.slow
+def test_sap_training_curve_matches_reference():
+    """SAP under its script's loss — the reference's OWN DiceBLoss imported
+    live (`train_sap_simple.py:28-46`; `UCF_VIT/utils/metrics.py:95-121`) —
+    vs this framework's `utils.metrics.dice_b_loss`, from transplanted-
+    identical init through the sqrt-len adaptive forward."""
+    from tests.test_reference_parity import _sap_pair
+    from UCF_VIT.utils.metrics import DiceBLoss
+    from ucf_vit_tpu.utils.metrics import dice_b_loss
+
+    ncls = 3
+    model, params, tm, x0, seq_ps0 = _sap_pair(num_classes=ncls)
+    side = x0.shape[-1]
+    rng = np.random.default_rng(8)
+    batches = []
+    for _ in range(10):
+        x = rng.normal(size=x0.shape).astype(np.float32)
+        seq_ps = rng.normal(size=seq_ps0.shape).astype(np.float32)
+        ids = np.clip(
+            np.floor((x[:, 0] - x.min()) / (x.max() - x.min()) * ncls), 0,
+            ncls - 1,
+        ).astype(np.int64)
+        onehot = np.eye(ncls, dtype=np.float32)[ids].transpose(0, 3, 1, 2)
+        batches.append((x, seq_ps, onehot))
+
+    tx = configure_optimizer(
+        params, lr=LR, beta_1=B1, beta_2=B2, weight_decay=WD,
+        warmup_steps=WARM, max_steps=N_STEPS,
+        warmup_start_lr=WSTART, eta_min=ETA,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, seq_ps, lab):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, None, seq_ps)
+            return dice_b_loss(logits, lab)
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, u), opt_state, l
+
+    state = {"p": params, "o": opt_state}
+
+    def ours(i):
+        x, seq_ps, lab = batches[i % len(batches)]
+        state["p"], state["o"], l = step(
+            state["p"], state["o"], jnp.asarray(x), jnp.asarray(seq_ps),
+            jnp.asarray(lab),
+        )
+        return l
+
+    tm.train()
+    topt, tsched = _ref_optimizer(tm)
+    crit = DiceBLoss(num_class=ncls)
+
+    def theirs(i):
+        x, seq_ps, lab = batches[i % len(batches)]
+        topt.zero_grad()
+        out = tm(torch.from_numpy(x), ("ct",), seq_ps=torch.from_numpy(seq_ps))
+        loss = crit(out, torch.from_numpy(lab))
+        loss.backward()
+        topt.step()
+        tsched.step()
+        return float(loss.detach())
+
+    _run_curves(ours, theirs)
+
+
+@pytest.mark.slow
+def test_diffusion_training_curve_matches_reference():
+    """DiffusionVIT under its script's step (`train_diffusion_fsdp.py:37-45`
+    + the noising at `:510-518`): t ~ randint, e ~ randn, data <-
+    sqrt(a)*data + sqrt(1-a)*e with a = DDPM alpha-bar[t], net predicts e,
+    MSE(unpatchify(out), e). The reference's DDPM_Scheduler and unpatchify
+    are imported LIVE; ours are models/ddpm.ddpm_schedule + ops.patchify.
+    t/e are drawn once per step in numpy and fed to BOTH sides, so the
+    curves must agree — this pins the reference-quirk surface (t indexing on
+    CPU, broadcast-shape noising) the r4 verdict called out."""
+    from UCF_VIT.ddpm.ddpm import DDPM_Scheduler
+    from UCF_VIT.utils.misc import unpatchify as ref_unpatchify
+
+    from tests.test_reference_parity import _diffusion_pair
+    from ucf_vit_tpu.models.ddpm import ddpm_schedule
+    from ucf_vit_tpu.ops.patchify import unpatchify as our_unpatchify
+    from ucf_vit_tpu.utils.metrics import mse as our_mse
+
+    T = 50
+    model, params, tm = _diffusion_pair(time_steps=T)
+    rng = np.random.default_rng(9)
+    B = 2
+    # smooth images (learnable structure under noise)
+    def smooth_batch():
+        lo = rng.normal(size=(B, 3, 4, 4)).astype(np.float32)
+        return np.asarray(
+            jax.image.resize(jnp.asarray(lo), (B, 3, 32, 32), "bilinear")
+        )
+
+    batches = [smooth_batch() for _ in range(10)]
+    ts = [rng.integers(0, T, size=(B,)).astype(np.int64) for _ in range(N_STEPS)]
+    es = [rng.normal(size=(B, 3, 32, 32)).astype(np.float32)
+          for _ in range(N_STEPS)]
+
+    sched = ddpm_schedule(T)
+
+    tx = configure_optimizer(
+        params, lr=LR, beta_1=B1, beta_2=B2, weight_decay=WD,
+        warmup_steps=WARM, max_steps=N_STEPS,
+        warmup_start_lr=WSTART, eta_min=ETA,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, t, e):
+        a = sched.alpha_bar[t].reshape(B, 1, 1, 1)
+        noised = jnp.sqrt(a) * x + jnp.sqrt(1.0 - a) * e
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, noised, t)
+            img = our_unpatchify(out, noised.shape, 8, True)
+            return our_mse(img, e)
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, u), opt_state, l
+
+    state = {"p": params, "o": opt_state}
+
+    def ours(i):
+        x = batches[i % len(batches)]
+        state["p"], state["o"], l = step(
+            state["p"], state["o"], jnp.asarray(x), jnp.asarray(ts[i]),
+            jnp.asarray(es[i]),
+        )
+        return l
+
+    tm.train()
+    topt, tsched_lr = _ref_optimizer(tm)
+    ref_sched = DDPM_Scheduler(num_time_steps=T)
+    crit = nn.MSELoss()
+
+    def theirs(i):
+        x = torch.from_numpy(batches[i % len(batches)])
+        t = torch.from_numpy(ts[i])
+        e = torch.from_numpy(es[i])
+        a = ref_sched.alpha[t].view(B, 1, 1, 1)
+        noised = torch.sqrt(a) * x + torch.sqrt(1 - a) * e
+        topt.zero_grad()
+        out = tm(noised, t, ("r", "g", "b"))
+        img = ref_unpatchify(out, noised, 8, True)
+        loss = crit(img, e)
+        loss.backward()
+        topt.step()
+        tsched_lr.step()
+        return float(loss.detach())
+
+    # diffusion's target e is fresh noise every step: the loss trends down
+    # slowly; require strict improvement rather than the 0.95x bar
+    _run_curves(ours, theirs, moved=1.0)
