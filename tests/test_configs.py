@@ -17,8 +17,9 @@ CONFIGS = sorted(
 def test_found_all_configs():
     # the reference's 8 workloads + the ViT-L scale-out variant + the
     # long-context sequence-parallel MAE + the pipeline-parallel ViT-L +
-    # the expert-parallel MoE classifier (capability-plus)
-    assert len(CONFIGS) == 12
+    # the expert-parallel MoE classifier + the measured-fast SAP bf16
+    # variant + the spatially-partitioned UNETR (capability-plus)
+    assert len(CONFIGS) == 14
 
 
 @pytest.mark.parametrize("path", CONFIGS)

@@ -28,6 +28,22 @@ from ucf_vit_tpu.models.unet_blocks import (
 )
 from ucf_vit_tpu.models.blocks import pdense
 from ucf_vit_tpu.models.vit import VIT
+from ucf_vit_tpu.parallel.mesh import logical_constraint
+
+
+def _spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain a channels-last feature map [B, s1, ..., C] to the decoder
+    layout: batch over the data axes, FIRST spatial dim over sp.
+
+    This is what makes `parallelism.seq_par_size > 1` mean *spatial
+    partitioning* for the conv decoder (capability-plus — the reference
+    asserts seq_par_size == 1, `train_masked_fsdp.py:220`): GSPMD inserts
+    the halo exchanges each 3x3(x3) conv needs at shard edges and keeps
+    every full-resolution activation (the UNETR memory/bandwidth ceiling,
+    BASELINE.md r4) at 1/sp per chip. Levels whose s1 does not divide sp
+    stay replicated (logical_constraint drops non-dividing dims)."""
+    names = ("batch", "spatial") + (None,) * (x.ndim - 2)
+    return logical_constraint(x, names)
 
 
 class UNETR(VIT):
@@ -137,25 +153,29 @@ class UNETR(VIT):
             )
 
         if not self.skip_connection:
-            x = self.proj_feat(x)
-            x = self.decoder5(x)
-            x = self.decoder4(x)
-            x = self.decoder3(x)
-            out = self.decoder2(x)
+            x = _spatial(self.proj_feat(x))
+            x = _spatial(self.decoder5(x))
+            x = _spatial(self.decoder4(x))
+            x = _spatial(self.decoder3(x))
+            out = _spatial(self.decoder2(x))
             if self.feat_size[0] * 16 != self.spatial_size[0]:
-                out = resize_linear_align_corners(out, self.spatial_size)
+                out = _spatial(
+                    resize_linear_align_corners(out, self.spatial_size)
+                )
             return self.out(out)
 
-        dec4 = self.proj_feat(x)
-        enc4 = self.encoder4(self.proj_feat(intermediates[-1]))
-        dec3 = self.decoder5(dec4, enc4)
-        enc3 = self.encoder3(self.proj_feat(intermediates[-2]))
-        dec2 = self.decoder4(dec3, enc3)
-        enc2 = self.encoder2(self.proj_feat(intermediates[-3]))
-        dec1 = self.decoder3(dec2, enc2)
+        dec4 = _spatial(self.proj_feat(x))
+        enc4 = _spatial(self.encoder4(self.proj_feat(intermediates[-1])))
+        dec3 = _spatial(self.decoder5(dec4, enc4))
+        enc3 = _spatial(self.encoder3(self.proj_feat(intermediates[-2])))
+        dec2 = _spatial(self.decoder4(dec3, enc3))
+        enc2 = _spatial(self.encoder2(self.proj_feat(intermediates[-3])))
+        dec1 = _spatial(self.decoder3(dec2, enc2))
         if self.feat_size[0] * 16 != self.spatial_size[0]:
-            dec1 = resize_linear_align_corners(dec1, self.spatial_size)
-        out = self.decoder2(dec1, enc1)
+            dec1 = _spatial(
+                resize_linear_align_corners(dec1, self.spatial_size)
+            )
+        out = _spatial(self.decoder2(dec1, enc1))
         return self.out(out)
 
     # --------------------------------------------------------------- forward
@@ -177,8 +197,8 @@ class UNETR(VIT):
         enc1 = None
         if self.skip_connection and not self.linear_decoder:
             # channels-first -> channels-last once at the boundary
-            img = jnp.moveaxis(x, 1, -1)
-            enc1 = self.encoder1(img)
+            img = _spatial(jnp.moveaxis(x, 1, -1))
+            enc1 = _spatial(self.encoder1(img))
 
         if self.skip_connection and not self.linear_decoder:
             tokens, intermediates = self.forward_intermediates(

@@ -61,6 +61,12 @@ LOGICAL_RULES = (
     ("batch", DATA_AXES),
     ("seq", AXIS_SP),
     ("heads", AXIS_TP),
+    # conv feature maps: first spatial dim of [B, *spatial, C] decoder
+    # activations rides the SAME sp axis the token sequence does — for
+    # UNETR the sequence [B, L, D] resharding into the grid [B, s, s(, s), D]
+    # keeps its leading-dim split, and the conv decoder runs spatially
+    # partitioned with GSPMD-inserted halo exchanges (models/unetr.py)
+    ("spatial", AXIS_SP),
     # parameters
     ("layers", AXIS_PP),  # scan-stacked Block params: one stage per pp rank
     ("embed", AXIS_FSDP),  # ZeRO-3-style param sharding on the fsdp axis
@@ -225,18 +231,22 @@ def logical_constraint(x, names):
     replacement for nn.with_logical_constraint, which requires a *global*
     mesh to act. No active mesh (single-device oracle mode) -> identity.
 
+    Dims whose extent does not divide their mesh-axes product are left
+    unconstrained on EVERY path (round 5 — previously manual-region only):
+    microbatches can be smaller than the data-shard count, and the UNETR
+    decoder's spatial pyramid has levels (9^3 grid, odd sequence lengths)
+    that a given sp just doesn't divide — those levels stay replicated
+    rather than unevenly padded, and GSPMD reshards at the first level
+    that does divide.
+
     Inside a manual shard_map region (the GPipe schedule,
     manual_region_constraints()) the constraint is emitted as a BARE
     PartitionSpec over the still-auto axes: a NamedSharding built on the
     outer mesh would name the manual axis with type Auto and be rejected on
-    pp-varying values. Dims whose extent does not divide their mesh-axes
-    product are left unconstrained (microbatches can be smaller than the
-    data-shard count)."""
+    pp-varying values."""
     mesh = _ACTIVE_MESH.get()
     if mesh is None:
         return x
-    if not _MANUAL_REGION.get():
-        return nn.with_logical_constraint(x, names, mesh=mesh)
     from flax.linen import spmd as _spmd
 
     axes = _spmd.logical_to_mesh_axes(tuple(names))
@@ -252,8 +262,11 @@ def logical_constraint(x, names):
         resolved.append(group if x.shape[dim] % max(extent, 1) == 0 else None)
     if all(r is None for r in resolved):
         return x
+    spec = jax.sharding.PartitionSpec(*resolved)
+    if _MANUAL_REGION.get():
+        return jax.lax.with_sharding_constraint(x, spec)
     return jax.lax.with_sharding_constraint(
-        x, jax.sharding.PartitionSpec(*resolved)
+        x, jax.sharding.NamedSharding(mesh, spec)
     )
 
 

@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 import flax.linen as nn
 from flax import struct
@@ -60,9 +61,35 @@ def unbox(tree):
 
 
 def logical_state_sharding(state_shapes, mesh: Mesh):
-    """PartitionSpec pytree for a TrainState whose params carry logical axes."""
+    """PartitionSpec pytree for a TrainState whose params carry logical axes.
+
+    Param dims whose extent does not divide their mesh-axes product fall
+    back to replicated (round 5): e.g. UNETR's 3-class output-conv bias
+    carries the "embed" -> fsdp axis but a 3-vector cannot shard over
+    fsdp=2 — pjit would reject the whole state. Mirrors the divisibility
+    guard logical_constraint applies to activations (parallel/mesh.py)."""
     logical = nn.get_partition_spec(state_shapes)
-    return nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
+    sharding = nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
+
+    def fit(shape_leaf, sh):
+        if not isinstance(sh, jax.sharding.NamedSharding):
+            return sh
+        shape = getattr(shape_leaf, "shape", None)
+        if shape is None:
+            return sh
+        spec = []
+        for dim, a in enumerate(sh.spec):
+            if a is None:
+                spec.append(None)
+                continue
+            group = (a,) if isinstance(a, str) else tuple(a)
+            extent = int(np.prod([mesh.shape[g] for g in group]))
+            spec.append(a if shape[dim] % max(extent, 1) == 0 else None)
+        return jax.sharding.NamedSharding(
+            sh.mesh, jax.sharding.PartitionSpec(*spec)
+        )
+
+    return jax.tree.map(fit, unbox(state_shapes), sharding)
 
 
 def _rebox_opt_state(opt_state, boxed_params):
