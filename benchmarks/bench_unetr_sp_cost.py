@@ -51,8 +51,10 @@ def main():
     force_virtual_cpu(world)
 
     rows = []
+    shard_batch_size = None
     for name, par in layouts:
         cfg = load_config(os.path.join(ROOT, CONFIG))
+        shard_batch_size = cfg.batch_size
         cfg.raw["parallelism"] = {
             "fsdp_size": 1, "tensor_par_size": 1, "seq_par_size": 1, **par
         }
@@ -67,8 +69,7 @@ def main():
                      bytes_chip / 1e9, bytes_chip / samples_chip / 1e9,
                      len(ops), coll_mb))
 
-    print(f"world {world}, per-data-shard batch "
-          f"{load_config(os.path.join(ROOT, CONFIG)).batch_size}")
+    print(f"world {world}, per-data-shard batch {shard_batch_size}")
     print(f"{'layout':10s} {'gbatch':>6s} {'smp/chip':>8s} "
           f"{'GB/chip/step':>13s} {'GB/chip/sample':>15s} "
           f"{'colls':>6s} {'coll MB':>9s}")

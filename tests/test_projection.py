@@ -77,6 +77,17 @@ def test_project_ring_formulas():
     assert p3["comm_ms"] == 0.0
 
 
+def test_project_counts_collective_permutes():
+    """Permutes carry source_target_pairs, never replica_groups, so they
+    parse as group size 1 — but every hop moves its payload. pp stage hops,
+    ring-attention rotations, and conv halo exchanges must NOT project to
+    zero comm (the review catch on the first version of this model)."""
+    p = project_step([("collective-permute", 90e6, 1, "")], "v5e-8",
+                     step_ms=10.0)
+    assert p["comm_mb"] == pytest.approx(90.0)
+    assert p["comm_ms"] == pytest.approx(90e6 / 45e9 * 1e3)
+
+
 def test_project_pp_utilization_factor():
     # S=4 stages, M=16 microbatches: per-chip compute = step/4 * 19/16
     p = project_step([], "v4-32", step_ms=100.0,

@@ -226,6 +226,24 @@ _MANUAL_REGION: contextvars.ContextVar = contextvars.ContextVar(
 )
 
 
+def fit_spec_to_shape(shape, axes, mesh):
+    """Drop PartitionSpec entries whose mesh-axes product does not divide
+    the corresponding dim — the single divisibility rule shared by
+    activation constraints (logical_constraint) and parameter shardings
+    (parallel.train_step.logical_state_sharding / create_sharded_params).
+    `axes` is a per-dim sequence of None | axis-name | tuple of names.
+    Returns a list (None where replicated)."""
+    resolved = []
+    for dim, a in enumerate(axes):
+        if a is None or not isinstance(a, (str, tuple, list)):
+            resolved.append(None)
+            continue
+        group = (a,) if isinstance(a, str) else tuple(a)
+        extent = int(np.prod([mesh.shape[g] for g in group]))
+        resolved.append(a if shape[dim] % max(extent, 1) == 0 else None)
+    return resolved
+
+
 def logical_constraint(x, names):
     """Sharding constraint by logical axis names — the framework-wide
     replacement for nn.with_logical_constraint, which requires a *global*
@@ -252,14 +270,7 @@ def logical_constraint(x, names):
     axes = _spmd.logical_to_mesh_axes(tuple(names))
     if axes is None:
         return x
-    resolved = []
-    for dim, a in enumerate(axes):
-        if a is None or not isinstance(a, (str, tuple, list)):
-            resolved.append(None)
-            continue
-        group = (a,) if isinstance(a, str) else tuple(a)
-        extent = int(np.prod([mesh.shape[g] for g in group]))
-        resolved.append(group if x.shape[dim] % max(extent, 1) == 0 else None)
+    resolved = fit_spec_to_shape(x.shape, axes, mesh)
     if all(r is None for r in resolved):
         return x
     spec = jax.sharding.PartitionSpec(*resolved)

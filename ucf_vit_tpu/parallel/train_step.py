@@ -24,7 +24,6 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 import flax.linen as nn
 from flax import struct
@@ -70,26 +69,26 @@ def logical_state_sharding(state_shapes, mesh: Mesh):
     guard logical_constraint applies to activations (parallel/mesh.py)."""
     logical = nn.get_partition_spec(state_shapes)
     sharding = nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
+    return jax.tree.map(
+        lambda leaf, sh: _fit_sharding(leaf, sh, mesh),
+        unbox(state_shapes), sharding,
+    )
 
-    def fit(shape_leaf, sh):
-        if not isinstance(sh, jax.sharding.NamedSharding):
-            return sh
-        shape = getattr(shape_leaf, "shape", None)
-        if shape is None:
-            return sh
-        spec = []
-        for dim, a in enumerate(sh.spec):
-            if a is None:
-                spec.append(None)
-                continue
-            group = (a,) if isinstance(a, str) else tuple(a)
-            extent = int(np.prod([mesh.shape[g] for g in group]))
-            spec.append(a if shape[dim] % max(extent, 1) == 0 else None)
-        return jax.sharding.NamedSharding(
-            sh.mesh, jax.sharding.PartitionSpec(*spec)
-        )
 
-    return jax.tree.map(fit, unbox(state_shapes), sharding)
+def _fit_sharding(shape_leaf, sh, mesh):
+    """Apply the shared divisibility rule (mesh.fit_spec_to_shape) to one
+    NamedSharding leaf; non-dividing dims fall back to replicated."""
+    from ucf_vit_tpu.parallel.mesh import fit_spec_to_shape
+
+    if not isinstance(sh, jax.sharding.NamedSharding):
+        return sh
+    shape = getattr(shape_leaf, "shape", None)
+    if shape is None:
+        return sh
+    spec = fit_spec_to_shape(shape, tuple(sh.spec), mesh)
+    return jax.sharding.NamedSharding(
+        sh.mesh, jax.sharding.PartitionSpec(*spec)
+    )
 
 
 def _rebox_opt_state(opt_state, boxed_params):
@@ -215,6 +214,12 @@ def create_sharded_params(init_fn: Callable[[], Any], mesh: Mesh):
     shapes = jax.eval_shape(make_params)
     sharding = nn.logical_to_mesh_sharding(
         nn.get_partition_spec(shapes), mesh, LOGICAL_RULES
+    )
+    # same divisibility fallback the training path applies (a 3-class
+    # UNETR out-conv bias cannot shard its 'embed' axis over fsdp=2)
+    sharding = jax.tree.map(
+        lambda leaf, sh: _fit_sharding(leaf, sh, mesh),
+        unbox(shapes), sharding,
     )
     with mesh:
         params = jax.jit(make_params, out_shardings=sharding)()

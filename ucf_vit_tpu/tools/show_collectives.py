@@ -156,7 +156,12 @@ def project_step(ops, topology: str, step_ms: float,
     comm_ms = 0.0
     comm_bytes = 0.0
     for kind, nbytes, gsize, _ in ops:
-        if gsize <= 1:
+        # collective-permutes carry source_target_pairs, never
+        # replica_groups, so they always parse as group size 1 — but every
+        # hop moves its full payload (pp stage hops, ring-attention
+        # rotations, conv halo exchanges are EXACTLY the permute-dominated
+        # programs this projection exists for)
+        if gsize <= 1 and kind != "collective-permute":
             continue
         wire = _WIRE_BYTES.get(kind, lambda b, n: float(b))(nbytes, gsize)
         comm_bytes += wire
@@ -242,10 +247,20 @@ def main(argv=None):
                 "the projection models the config's own mesh on that "
                 "generation's ICI links"
             )
+        pp = int(par.get("pipe_par_size", 1))
+        m = int(par.get("pipe_microbatches", 0))
+        if pp > 1 and m <= 0:
+            # resolve the documented auto value (0) exactly as the trainer
+            # does, else the bubble factor degenerates to worst-case M=1
+            from ucf_vit_tpu.parallel.pipeline import pick_microbatches
+
+            m = pick_microbatches(
+                cfg.batch_size * cfg.data_par_size, pp,
+                data_extent=cfg.data_par_size,
+            )
         proj = project_step(
             ops, args.project, args.step_ms,
-            pipe_stages=int(par.get("pipe_par_size", 1)),
-            pipe_microbatches=int(par.get("pipe_microbatches", 1)),
+            pipe_stages=pp, pipe_microbatches=m,
         )
         print(
             f"\nprojection on {proj['topology']} ({proj['chips']} chips, "
