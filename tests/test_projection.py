@@ -100,3 +100,34 @@ def test_overlap_bounds_ordering():
     p = project_step(ops, "v5e-8", step_ms=5.0)
     assert p["full_overlap_ms"] <= p["no_overlap_ms"]
     assert p["full_overlap_ms"] == max(p["compute_ms"], p["comm_ms"])
+
+
+@pytest.mark.slow
+def test_project_cli_end_to_end():
+    """The full CLI wiring on the cheapest shipped config (catsdogs,
+    world 1): compiles, inventories, and prints a PROJECTION line whose
+    degenerate 1-chip projection equals the given step time exactly.
+    Subprocess because force_virtual_cpu must run before any backend
+    initializes (the test conftest already booted 8 CPU devices)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = os.path.join(root, "configs/catsdogs/classification/base_config.yaml")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "ucf_vit_tpu.tools.show_collectives",
+         cfg, "--project", "v5e-8", "--step-ms", "100"],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-2000:]}"
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith("PROJECTION ")][0]
+    proj = json.loads(line[len("PROJECTION "):])
+    assert proj["comm_ms"] == 0.0
+    assert proj["no_overlap_ms"] == proj["full_overlap_ms"] == 100.0
