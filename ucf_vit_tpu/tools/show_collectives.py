@@ -22,6 +22,15 @@ autograd functions (`utils/dist_functions.py`).
 Usage:
   python -m ucf_vit_tpu.tools.show_collectives <config.yaml>
          [--task T] [--all] (default: summary only; --all lists every op)
+         [--project v4-32|v5e-8|... --step-ms <measured single-chip ms>]
+
+--project turns the inventory into a projected per-step time on a target
+topology (round 5): ring-model wire bytes per chip over one ICI link's
+one-way bandwidth vs the measured compute term, reported as
+[full overlap .. no overlap] bounds with the assumptions printed — the
+honest substitute for pod benches a 1-chip rig cannot run, falsifiable
+the day real hardware appears. See BASELINE.md round 5 for the shipped
+projections (classification, mae, vit_l_pp, mae_long, moe).
 """
 
 from __future__ import annotations
